@@ -1,0 +1,156 @@
+"""Configuration dataclasses.
+
+Parameter names mirror the reference's public config surface
+(reference: ModelComponents/parameters.py:160-178 and README.md:146-158) so a
+user of the reference finds the same knobs: ``num_object_preds``,
+``image_size``, ``num_encoder_blocks``, ``num_encoder_heads``, ``encoder_dim``,
+``num_decoder_blocks``, ``num_decoder_heads``, ``decoder_dim``,
+``num_panoptic_heads``, ``panoptic_dim``, ``vocab_dict``.
+
+TPU-native additions: dtype policy, matcher selection, mesh/sharding knobs,
+and compatibility flags for reference quirks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+PAD_TOKEN = "<PAD>"
+OOV_TOKEN = "<OOV>"
+
+# Default loss weights (reference: losses_and_metrics.py:8-11).
+DEFAULT_CATEGORY_WEIGHT = 1000.0
+DEFAULT_BOX_WEIGHT = 1.0
+DEFAULT_ATTRIBUTE_WEIGHT = 100.0
+DEFAULT_EXIST_WEIGHT = 100.0
+
+
+@dataclasses.dataclass(frozen=True)
+class LossWeights:
+    """Matching-loss term weights (reference: losses_and_metrics.py:8-11).
+
+    Kept outside checkpointed model config, mirroring the reference's decision
+    to exclude loss weights from ``get_config`` so checkpoints stay loadable
+    when weights change (reference: model.py:37-42).
+    """
+
+    category: float = DEFAULT_CATEGORY_WEIGHT
+    box: float = DEFAULT_BOX_WEIGHT
+    attribute: float = DEFAULT_ATTRIBUTE_WEIGHT
+    exist: float = DEFAULT_EXIST_WEIGHT
+    # Box-loss internal weights (reference: losses_and_metrics.py:68).
+    giou: float = 2.0
+    l2: float = 5.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    # --- reference-parity surface (parameters.py:160-178) ---
+    num_object_preds: int = 96
+    image_size: Tuple[int, int] = (560, 560)
+    num_encoder_blocks: int = 4
+    num_encoder_heads: int = 8
+    encoder_dim: int = 256
+    num_decoder_blocks: int = 4
+    num_decoder_heads: int = 8
+    decoder_dim: int = 256
+    num_panoptic_heads: int = 1
+    panoptic_dim: int = 32
+    num_categories: int = 82  # vocab size incl. <PAD> and <OOV>
+    num_attributes: int = 296  # vocab size incl. <PAD> and <OOV>
+    classification_only: bool = False
+
+    # --- architecture ---
+    backbone: str = "efficientnet_lite"  # efficientnet_lite | resnet | tiny
+    backbone_width: float = 1.0
+    # Hidden dim of classification heads; the reference uses 4*decoder_dim for
+    # standard DETR (model.py:101-108) and decoder_dim for boosted
+    # (boosted_model.py:118-137). None = 4*decoder_dim.
+    head_hidden_dim: Optional[int] = None
+    dropout_rate: float = 0.1  # transformers.py:135, :179
+    layernorm_epsilon: float = 1e-3  # transformers.py:137 (keras default 1e-3)
+
+    # --- data contract ---
+    max_objects: int = 32  # static padded object count per image
+
+    # --- TPU-native knobs ---
+    compute_dtype: str = "bfloat16"  # model compute; loss/matching stay f32
+    matcher: str = "hungarian"  # hungarian | auction | auction_pallas | hungarian_host
+    matcher_epsilon_scaling: float = 0.1  # auction eps-scaling factor
+    use_pallas_attention: bool = False
+    norm: str = "batchnorm"  # batchnorm | groupnorm (parity flag, SURVEY §7)
+
+    # --- reference-quirk compatibility flags (SURVEY §7 "quirk management") ---
+    # Post-softmax multiplicative attention masking without renorm
+    # (transformers.py:89-94). Only observable when a mask is passed.
+    post_softmax_mask: bool = True
+    # Boosted model counts block 0's predictions twice
+    # (boosted_model.py:222-229). Default False = fixed; True = bit-parity.
+    block0_double_count: bool = False
+
+    # --- early-exit inference (reference README.md:63-88, unimplemented) ---
+    early_exit_threshold: Optional[float] = None
+
+    @property
+    def resolved_head_hidden_dim(self) -> int:
+        return self.head_hidden_dim or 4 * self.decoder_dim
+
+    @property
+    def grid_size(self) -> Tuple[int, int]:
+        """Backbone output grid (stride-32), e.g. 560x560 -> 18x18 (ceil)."""
+        return (-(-self.image_size[0] // 32), -(-self.image_size[1] // 32))
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8  # reference DETR_COCO.ipynb cell 35
+    learning_rate: float = 1e-3
+    lr_schedule: str = "cosine_restarts"  # cosine_restarts | aiayn | constant
+    warmup_steps: int = 4000
+    momentum: float = 0.9
+    nesterov: bool = True
+    clipnorm: float = 0.1  # reference DETR_COCO.ipynb cell 26
+    optimizer: str = "sgd"  # sgd | adamw
+    weight_decay: float = 0.0
+    loss_weights: LossWeights = dataclasses.field(default_factory=LossWeights)
+    # Staged boosted training: index of the single trainable weak-learner
+    # block (backbone + other blocks frozen), or None = train everything
+    # (reference Boosted_DETR_COCO.ipynb cell 30).
+    train_block: Optional[int] = None
+    # Loss on intermediate decoder blocks (reference model.py:179 hard-codes
+    # False for standard DETR; boosted always uses per-block losses).
+    use_intermediate_losses: bool = False
+    seed: int = 0
+    # mesh
+    mesh_shape: Optional[Dict[str, int]] = None  # e.g. {"data": 8}
+    # checkpointing
+    checkpoint_dir: Optional[str] = None
+    keep_checkpoints: int = 3
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Built-in vocabularies (reference: parameters.py:117-153 hard-codes COCO and
+# Fashionpedia vocab dicts; we expose the same `vocab_dict(name)` surface but
+# load the word lists from the dataset loaders in boosted_detr_tpu.data).
+# ---------------------------------------------------------------------------
+
+def default_params(dataset_name: str = "COCO", **overrides: Any) -> ModelConfig:
+    """Equivalent of ``ModelParameters.default_params()``
+    (reference: parameters.py:160-178)."""
+    from boosted_detr_tpu.data import vocabularies
+
+    vocab = vocabularies.vocab_dict(dataset_name)
+    cfg = ModelConfig(
+        num_categories=len(vocab["category"]) + 2,  # + PAD + OOV
+        num_attributes=len(vocab["attribute"]) + 2,
+    )
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    return cfg

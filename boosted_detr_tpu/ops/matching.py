@@ -1,0 +1,392 @@
+"""Batched on-device bipartite matching + the DETR matching loss.
+
+This module replaces the reference's host-side Hungarian matcher — a
+``tf.numpy_function`` round-trip into ``scipy.optimize.linear_sum_assignment``
+executed in a Python loop over the batch every training step (reference:
+ModelComponents/losses_and_metrics.py:228-251), which is the reason the
+reference declares itself TPU-incompatible (reference README.md:95).
+
+Here the assignment is solved **on device**, so every tensor stays in
+HBM/VMEM and the matcher compiles into the same XLA program as the rest of
+the train step. Two backends:
+
+- ``hungarian_lap`` (default): an **exact** batched Jonker-Volgenant /
+  Hungarian solver (shortest augmenting path with dual potentials), vmapped
+  over the batch. A dummy-column construction keeps every batch lane running
+  the identical static loop structure regardless of its ``num_objects``, so
+  the whole batch advances in lockstep `lax.while_loop`s.
+- ``auction_lap``: a single-phase Jacobi auction (Bertsekas), eps-optimal;
+  cheaper per round, approximate. (Note: eps-*scaling* with price carryover
+  is intentionally NOT used — for asymmetric problems, predictions that end
+  a phase unmatched retain stale prices and the classic n*eps bound breaks.)
+
+A Pallas kernel variant lives in ``ops/pallas_lap.py``; a host callback
+(scipy) variant is kept for oracle testing.
+
+Semantics match the reference: per batch element ``i`` only the first
+``num_objects[i]`` rows of the cost matrix participate (reference:
+losses_and_metrics.py:240-243) and the result is a 0/1 mask
+``[B, max_objects, num_preds]``. Ties may be resolved differently than scipy;
+only the *mask* is consumed downstream and any optimal assignment yields an
+equivalent training signal (SURVEY §7 hard-part 1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from boosted_detr_tpu.config import LossWeights
+from boosted_detr_tpu.ops import losses as loss_ops
+
+_NEG = -1e30
+_INF = 1e30
+_BIG = 1e9
+
+
+# ---------------------------------------------------------------------------
+# Exact batched Hungarian (Jonker-Volgenant shortest augmenting path).
+# ---------------------------------------------------------------------------
+
+
+def _hungarian_one(cost: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """Exact LAP for one cost matrix [O, P] with the first ``n`` rows active.
+
+    Shortest-augmenting-path Hungarian with dual potentials u/v (the classic
+    O(rows * cols) iterations of O(cols) vector work). To keep the loop
+    structure identical for every vmapped batch lane regardless of ``n``,
+    each row i gets a private dummy column that costs ``-BIG`` when the row
+    is inactive (i >= n) and ``+BIG`` otherwise: an inactive row matches its
+    dummy in a single Dijkstra step and never perturbs real potentials.
+
+    Returns the matched real column per row (int32 [O]), -1 for rows matched
+    to a dummy (inactive rows).
+    """
+    o, p = cost.shape
+    c = p + o  # real columns + one dummy column per row
+    n = n.astype(jnp.int32)
+
+    row_ids = jnp.arange(o, dtype=jnp.int32)
+    dummy = jnp.where((row_ids[:, None] == row_ids[None, :])
+                      & (row_ids[:, None] >= n), -_BIG, _BIG)  # [O, O]
+    cost_aug = jnp.concatenate(
+        [cost.astype(jnp.float32), dummy], axis=1)  # [O, C]
+
+    col_virtual = c  # analogue of the classic algorithm's virtual column
+
+    def row_body(i, carry):
+        u, v, match = carry  # u [O], v [C+1] f32, match [C+1] int32 (o = free)
+        match = match.at[col_virtual].set(i)
+
+        minv0 = jnp.full((c,), _INF, jnp.float32)
+        way0 = jnp.full((c,), col_virtual, jnp.int32)
+        used0 = jnp.zeros((c + 1,), jnp.bool_)
+
+        def cond(s):
+            j0, _, _, _, _, _, match_ = s
+            return match_[j0] != o
+
+        def body(s):
+            j0, minv_, way_, used_, u_, v_, match_ = s
+            used_ = used_.at[j0].set(True)
+            i0 = match_[j0]
+            reduced = cost_aug[i0] - u_[i0] - v_[:c]  # [C]
+            avail = ~used_[:c]
+            better = (reduced < minv_) & avail
+            minv_ = jnp.where(better, reduced, minv_)
+            way_ = jnp.where(better, j0, way_)
+            masked = jnp.where(avail, minv_, _INF)
+            j1 = jnp.argmin(masked).astype(jnp.int32)
+            delta = masked[j1]
+            # dual update: rows matched to used columns gain delta (including
+            # the current row, held by the virtual column), used columns lose
+            # delta, unused columns' tentative distances shrink by delta.
+            rows_hit = jnp.where(used_[:c], match_[:c], o)  # o -> dropped
+            u_ = u_.at[rows_hit].add(jnp.where(used_[:c], delta, 0.0),
+                                     mode="drop")
+            u_ = u_.at[match_[col_virtual]].add(delta)  # virtual col is used
+            v_ = jnp.where(used_, v_ - delta, v_)
+            minv_ = jnp.where(avail, minv_ - delta, minv_)
+            return j1, minv_, way_, used_, u_, v_, match_
+
+        init = (jnp.int32(col_virtual), minv0, way0, used0, u, v, match)
+        j0, _, way, _, u, v, match = lax.while_loop(cond, body, init)
+
+        # augment along the alternating path back to the virtual column
+        def aug_cond(s):
+            j0_, _ = s
+            return j0_ != col_virtual
+
+        def aug_body(s):
+            j0_, match_ = s
+            j1 = way[j0_]
+            match_ = match_.at[j0_].set(match_[j1])
+            return j1, match_
+
+        _, match = lax.while_loop(aug_cond, aug_body, (j0, match))
+        return u, v, match
+
+    u0 = jnp.zeros((o,), jnp.float32)
+    v0 = jnp.zeros((c + 1,), jnp.float32)
+    match0 = jnp.full((c + 1,), o, jnp.int32)
+    _, _, match = lax.fori_loop(0, o, row_body, (u0, v0, match0))
+
+    # invert: row -> matched real column (-1 if matched to a dummy)
+    col_of_row = jnp.max(
+        jnp.where(match[None, :p] == row_ids[:, None],
+                  jnp.arange(p, dtype=jnp.int32)[None, :], -1), axis=1)
+    return col_of_row  # [O]
+
+
+def hungarian_lap(cost: jnp.ndarray, num_objects: jnp.ndarray) -> jnp.ndarray:
+    """Exact batched linear assignment, fully on device.
+
+    Args:
+      cost: [B, O, P] f32; rows = objects, cols = predictions (P >= O).
+      num_objects: [B] int32; rows >= num_objects[b] are ignored.
+
+    Returns:
+      mask: [B, O, P] f32 0/1 optimal assignment mask, zero on inactive rows.
+    """
+    cost = lax.stop_gradient(cost.astype(jnp.float32))
+    b, o, p = cost.shape
+    n = num_objects.reshape(b).astype(jnp.int32)
+    col_of_row = jax.vmap(_hungarian_one)(cost, n)  # [B, O]
+    valid = (jnp.arange(o, dtype=jnp.int32)[None, :] < n[:, None]) \
+        & (col_of_row >= 0)
+    mask = jax.nn.one_hot(jnp.where(valid, col_of_row, p), p,
+                          dtype=jnp.float32)
+    return lax.stop_gradient(mask)
+
+
+# ---------------------------------------------------------------------------
+# Approximate single-phase Jacobi auction (kept as a cheaper alternative).
+# ---------------------------------------------------------------------------
+
+
+class AuctionState(NamedTuple):
+    rounds: jnp.ndarray  # scalar int32 safety counter
+    prices: jnp.ndarray  # [B, P] f32
+    assign: jnp.ndarray  # [B, O] int32, -1 = unassigned
+    owner: jnp.ndarray  # [B, P] int32, -1 = unowned
+
+
+def auction_lap(cost: jnp.ndarray, num_objects: jnp.ndarray,
+                eps_rel: float = 1e-2, max_rounds: int = 2000) -> jnp.ndarray:
+    """Batched single-phase Jacobi auction from zero prices.
+
+    The returned assignment's total cost is within ``n * eps`` of optimal,
+    ``eps = eps_rel * cost_spread / (n + 1)``. Starting from zero prices keeps
+    unmatched predictions at price zero, which is what makes the eps-
+    complementary-slackness bound valid for asymmetric (P > n) problems.
+
+    Args:
+      cost: [B, O, P] f32 cost matrix (rows = objects, cols = predictions).
+      num_objects: [B] int32; only rows < num_objects[b] are matched.
+      eps_rel: relative optimality tolerance.
+      max_rounds: safety bound on bidding rounds (static).
+
+    Returns:
+      mask: [B, O, P] f32 0/1 assignment mask (row i all-zero for i >= n_b).
+    """
+    cost = jax.lax.stop_gradient(cost.astype(jnp.float32))
+    b, o, p = cost.shape
+    n = num_objects.reshape(b).astype(jnp.int32)
+
+    benefit = -cost  # auction maximizes
+    row_ids = jnp.arange(o, dtype=jnp.int32)
+    valid_row = row_ids[None, :] < n[:, None]  # [B, O]
+
+    vmask = valid_row[..., None]
+    max_b = jnp.max(jnp.where(vmask, benefit, _NEG), axis=(1, 2))
+    min_b = jnp.min(jnp.where(vmask, benefit, -_NEG), axis=(1, 2))
+    spread = jnp.maximum(max_b - min_b, 1e-6)
+    eps = eps_rel * spread / (n.astype(jnp.float32) + 1.0)  # [B]
+
+    def all_assigned(assign):
+        return jnp.all((assign >= 0) | ~valid_row, axis=1)  # [B]
+
+    def cond(s: AuctionState):
+        return jnp.logical_and(s.rounds < max_rounds,
+                               jnp.any(~all_assigned(s.assign)))
+
+    def body(s: AuctionState) -> AuctionState:
+        unassigned = (s.assign < 0) & valid_row  # [B, O]
+
+        col_ids = jnp.arange(p, dtype=jnp.int32)
+        values = benefit - s.prices[:, None, :]  # [B, O, P]
+        best_j = jnp.argmax(values, axis=2).astype(jnp.int32)  # [B, O]
+        is_best = col_ids[None, None, :] == best_j[..., None]  # [B, O, P]
+        v1 = jnp.max(values, axis=2)  # [B, O]
+        v2 = jnp.max(jnp.where(is_best, _NEG, values), axis=2)  # [B, O]
+        bid = jnp.take_along_axis(s.prices, best_j, axis=1) + (v1 - v2) \
+            + eps[:, None]  # [B, O]
+
+        # Resolve: per prediction, the highest bidder wins.
+        bid_mat = jnp.where(unassigned[..., None] & is_best,
+                            bid[..., None], _NEG)  # [B, O, P]
+        win_val = jnp.max(bid_mat, axis=1)  # [B, P]
+        win_obj = jnp.argmax(bid_mat, axis=1).astype(jnp.int32)  # [B, P]
+        has_winner = win_val > _NEG / 2  # [B, P]
+
+        new_prices = jnp.where(has_winner, win_val, s.prices)
+        # Evict previous owners of re-auctioned predictions.
+        col_of = jnp.where(s.assign >= 0, s.assign, p)  # [B, O] (p = none)
+        evicted = jnp.take_along_axis(
+            jnp.concatenate([has_winner, jnp.zeros((b, 1), jnp.bool_)], axis=1),
+            col_of, axis=1)  # [B, O]
+        assign1 = jnp.where(evicted, -1, s.assign)
+        # Award predictions to winners: object i wins pred j iff
+        # has_winner[j] and win_obj[j] == i (each object bids once per round).
+        won = (win_obj[:, :, None] == row_ids[None, None, :]) \
+            & has_winner[:, :, None]  # [B, P, O]
+        win_of_obj = jnp.max(
+            jnp.where(won, col_ids[None, :, None], -1), axis=1)  # [B, O]
+        new_owner = jnp.where(has_winner, win_obj, s.owner)
+        assign2 = jnp.where(win_of_obj >= 0, win_of_obj, assign1)
+
+        return AuctionState(s.rounds + 1, new_prices, assign2, new_owner)
+
+    init = AuctionState(
+        rounds=jnp.zeros((), jnp.int32),
+        prices=jnp.zeros((b, p), jnp.float32),
+        assign=jnp.full((b, o), -1, jnp.int32),
+        owner=jnp.full((b, p), -1, jnp.int32),
+    )
+    final = lax.while_loop(cond, body, init)
+
+    mask = jax.nn.one_hot(jnp.where(final.assign >= 0, final.assign, p),
+                          p, dtype=jnp.float32)  # rows with -1 -> all zero
+    mask = mask * valid_row[..., None].astype(jnp.float32)
+    return lax.stop_gradient(mask)
+
+
+def hungarian_host(cost: jnp.ndarray, num_objects: jnp.ndarray) -> jnp.ndarray:
+    """Host-callback exact Hungarian matching (scipy), for oracle testing and
+    CPU debugging. Mirrors reference losses_and_metrics.py:234-245 semantics.
+
+    NOT for the TPU hot path — this is exactly the device->host round trip the
+    framework exists to remove.
+    """
+    import numpy as np
+
+    def _solve(cost_np, n_np):
+        from scipy.optimize import linear_sum_assignment
+
+        cost_np = np.asarray(cost_np, dtype=np.float32)
+        n_np = np.asarray(n_np).reshape(-1).astype(np.int64)
+        masks = np.zeros_like(cost_np)
+        for i in range(cost_np.shape[0]):
+            ni = int(n_np[i])
+            if ni > 0:
+                r, c = linear_sum_assignment(cost_np[i, :ni, :])
+                masks[i][r, c] = 1.0
+        return masks
+
+    out_shape = jax.ShapeDtypeStruct(cost.shape, jnp.float32)
+    mask = jax.pure_callback(_solve, out_shape, cost, num_objects,
+                             vmap_method="sequential")
+    return lax.stop_gradient(mask)
+
+
+def solve_matching(cost: jnp.ndarray, num_objects: jnp.ndarray,
+                   method: str = "auction") -> jnp.ndarray:
+    """Dispatch to a matcher backend. method: hungarian | auction |
+    auction_pallas | hungarian_host."""
+    if method == "hungarian":
+        return hungarian_lap(cost, num_objects)
+    if method == "auction":
+        return auction_lap(cost, num_objects)
+    if method == "auction_pallas":
+        from boosted_detr_tpu.ops import pallas_lap
+
+        return pallas_lap.auction_lap_pallas(cost, num_objects)
+    if method == "hungarian_host":
+        return hungarian_host(cost, num_objects)
+    raise ValueError(f"unknown matcher '{method}'")
+
+
+# ---------------------------------------------------------------------------
+# The full matching loss (reference: losses_and_metrics.py:75-161).
+# ---------------------------------------------------------------------------
+
+
+def matching_loss(
+    category_onehot: jnp.ndarray,  # [B, O, Vc] f32 one-hot targets
+    attribute_multihot: jnp.ndarray,  # [B, O, Va] f32 multi-hot targets
+    bbox: jnp.ndarray,  # [B, O, 4] f32 COCO-format targets
+    num_objects: jnp.ndarray,  # [B] int32
+    cat_preds: jnp.ndarray,  # [B, P, Vc] f32 softmax probs
+    attribute_preds: jnp.ndarray,  # [B, P, Va] f32 sigmoid probs
+    box_preds: jnp.ndarray,  # [B, P, 4] f32 COCO-format
+    weights: LossWeights = LossWeights(),
+    matcher: str = "hungarian",
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Bipartite-matched DETR set loss, reproducing the reference exactly.
+
+    Returns (losses, metrics): per-batch-element [B] vectors
+    ``total/category/attribute/box/exist`` and ``iou``; the trainer sums
+    ``total`` over the batch (Keras ``add_loss`` parity, reference
+    model.py:208). Normalization is **batch-global**: masked sums are divided
+    by ``1 + sum(num_objects)`` over the whole batch (reference:
+    losses_and_metrics.py:144-150) — under pjit the arrays are global, so this
+    matches single-device semantics at any mesh size.
+    """
+    f32 = jnp.float32
+    cat_preds = cat_preds.astype(f32)
+    attribute_preds = attribute_preds.astype(f32)
+    box_preds = box_preds.astype(f32)
+    num_objects = num_objects.reshape(-1).astype(jnp.int32)
+    b, p_count, _ = cat_preds.shape
+
+    # Pairwise weighted costs (reference: losses_and_metrics.py:119-126).
+    category_cost = weights.category * loss_ops.category_cost(
+        category_onehot, cat_preds)
+    attribute_cost = weights.attribute * loss_ops.attribute_cost(
+        attribute_multihot, attribute_preds)
+    box_cost = weights.box * loss_ops.pairwise(
+        functools.partial(loss_ops.box_loss,
+                          giou_weight=weights.giou, l2_weight=weights.l2),
+        bbox, box_preds)
+
+    total_cost = category_cost + box_cost + attribute_cost
+    assignment_mask = solve_matching(total_cost, num_objects, matcher)
+    # [B, P] indicator of predictions that won an object
+    # (reference: losses_and_metrics.py:209-210).
+    assigned_predictions = jnp.max(assignment_mask, axis=-2)
+
+    # Masked reductions (reference: losses_and_metrics.py:133-150).
+    total_num_objects = 1.0 + jnp.sum(num_objects).astype(f32)
+    num_preds_per_batch = 1.0 + f32(p_count)
+
+    def reduce(cost):
+        return jnp.sum(assignment_mask * cost, axis=(-2, -1)) / total_num_objects
+
+    category_term = reduce(category_cost)
+    attribute_term = reduce(attribute_cost)
+    box_term = reduce(box_cost)
+
+    # Existence BCE on the <PAD>/no-object class prob for unassigned preds
+    # (reference: losses_and_metrics.py:137-140, :150).
+    exist = weights.exist * loss_ops.exist_loss(
+        (1.0 - assigned_predictions)[..., None], cat_preds[..., 0:1])
+    exist_term = jnp.mean(exist, axis=-1) / num_preds_per_batch
+
+    total = category_term + attribute_term + box_term + exist_term
+    losses = {
+        "total": total,
+        "category": category_term,
+        "attribute": attribute_term,
+        "box": box_term,
+        "exist": exist_term,
+    }
+
+    # Matched-IoU metric (reference: losses_and_metrics.py:157-158, :188-189).
+    iou = loss_ops.iou_metric_pairwise(bbox, box_preds)
+    masked_iou = jnp.sum(assignment_mask * iou, axis=(-2, -1)) / total_num_objects
+    metrics = {"iou": masked_iou}
+    return losses, metrics
