@@ -1,0 +1,240 @@
+"""CNN backbones + neck (Flax), TPU-first.
+
+Replaces reference: ModelComponents/backbone.py (Keras EfficientNetB4 with
+``weights=None`` — i.e. trained from scratch, backbone.py:28-31 — or
+ResNet50). Because the reference trains its backbone from scratch, no
+pretrained-weight porting is needed for parity (SURVEY §7); these are
+original Flax implementations.
+
+TPU-first notes:
+- The default flagship backbone is a ResNet-style network: dense 3x3 convs
+  have high arithmetic intensity and map straight onto the 128x128 MXU,
+  whereas EfficientNet's depthwise convs are HBM-bandwidth-bound on TPU. An
+  EfficientNet-lite-style backbone (MBConv, ReLU6, no squeeze-excite) is
+  provided for reference-default parity (``backbone='efficientnet_lite'``).
+- All convs run in the configured compute dtype (bf16 by default); batch
+  norm statistics accumulate in f32.
+- Output stride is 32, matching the reference's grid
+  ((H/32)x(W/32) tokens, reference transformers.py:266-275).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def make_norm(norm: str, train: bool, dtype: jnp.dtype,
+              name: str) -> Callable:
+    """BatchNorm (Keras-default momentum .99 / eps 1e-3) or GroupNorm — the
+    parity flag for BatchNorm-under-pjit concerns (SURVEY §7 hard-part 3).
+    Under jit/GSPMD the batch axis is global, so BatchNorm stats are
+    cross-replica automatically."""
+    if norm == "batchnorm":
+        return nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                            epsilon=1e-3, dtype=dtype, name=name)
+    if norm == "groupnorm":
+        return nn.GroupNorm(num_groups=32, epsilon=1e-3, dtype=dtype,
+                            name=name)
+    raise ValueError(f"unknown norm '{norm}'")
+
+
+class ConvNormAct(nn.Module):
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    norm: str = "batchnorm"
+    act: Callable = nn.relu
+    dtype: jnp.dtype = jnp.float32
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = nn.Conv(self.features, self.kernel, self.strides, padding="SAME",
+                    use_bias=False, feature_group_count=self.groups,
+                    dtype=self.dtype, name="conv")(x)
+        x = make_norm(self.norm, train, self.dtype, "norm")(x)
+        return self.act(x) if self.act is not None else x
+
+
+class BottleneckBlock(nn.Module):
+    """ResNet-v1.5 bottleneck: 1x1 reduce -> 3x3 (stride) -> 1x1 expand."""
+
+    features: int  # output width (4x the bottleneck width)
+    strides: Tuple[int, int] = (1, 1)
+    norm: str = "batchnorm"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        mid = self.features // 4
+        residual = x
+        y = ConvNormAct(mid, (1, 1), norm=self.norm, dtype=self.dtype,
+                        name="conv1")(x, train=train)
+        y = ConvNormAct(mid, (3, 3), self.strides, norm=self.norm,
+                        dtype=self.dtype, name="conv2")(y, train=train)
+        y = ConvNormAct(self.features, (1, 1), norm=self.norm, act=None,
+                        dtype=self.dtype, name="conv3")(y, train=train)
+        if residual.shape != y.shape:
+            residual = ConvNormAct(self.features, (1, 1), self.strides,
+                                   norm=self.norm, act=None, dtype=self.dtype,
+                                   name="proj")(x, train=train)
+        return nn.relu(y + residual)
+
+
+class ResNetBackbone(nn.Module):
+    """ResNet-50-style backbone, stride 32. ``width`` scales channel counts."""
+
+    width: float = 1.0
+    depths: Sequence[int] = (3, 4, 6, 3)
+    norm: str = "batchnorm"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        w = lambda c: max(32, int(c * self.width))  # noqa: E731
+        x = ConvNormAct(w(64), (7, 7), (2, 2), norm=self.norm,
+                        dtype=self.dtype, name="stem")(x, train=train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        for stage, (depth, feats) in enumerate(
+                zip(self.depths, (w(256), w(512), w(1024), w(2048)))):
+            for i in range(depth):
+                strides = (2, 2) if (i == 0 and stage > 0) else (1, 1)
+                x = BottleneckBlock(feats, strides, self.norm, self.dtype,
+                                    name=f"stage{stage}_block{i}")(
+                                        x, train=train)
+        return x
+
+
+class MBConvBlock(nn.Module):
+    """EfficientNet-lite MBConv: 1x1 expand -> depthwise -> 1x1 project,
+    ReLU6, no squeeze-excite."""
+
+    features: int
+    expand: int = 6
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    norm: str = "batchnorm"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        relu6 = lambda v: jnp.minimum(nn.relu(v), 6.0)  # noqa: E731
+        in_feats = x.shape[-1]
+        residual = x
+        y = x
+        if self.expand != 1:
+            y = ConvNormAct(in_feats * self.expand, (1, 1), norm=self.norm,
+                            act=relu6, dtype=self.dtype, name="expand")(
+                                y, train=train)
+        y = ConvNormAct(y.shape[-1], self.kernel, self.strides,
+                        norm=self.norm, act=relu6, dtype=self.dtype,
+                        groups=y.shape[-1], name="depthwise")(y, train=train)
+        y = ConvNormAct(self.features, (1, 1), norm=self.norm, act=None,
+                        dtype=self.dtype, name="project")(y, train=train)
+        if self.strides == (1, 1) and in_feats == self.features:
+            y = y + residual
+        return y
+
+
+class EfficientNetLiteBackbone(nn.Module):
+    """EfficientNet-lite-style backbone, stride 32 (reference default is
+    EfficientNetB4 from scratch, backbone.py:28-31)."""
+
+    width: float = 1.0
+    norm: str = "batchnorm"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        relu6 = lambda v: jnp.minimum(nn.relu(v), 6.0)  # noqa: E731
+        w = lambda c: max(16, int(c * self.width))  # noqa: E731
+        x = ConvNormAct(w(32), (3, 3), (2, 2), norm=self.norm, act=relu6,
+                        dtype=self.dtype, name="stem")(x, train=train)
+        # (features, depth, stride, kernel, expand)
+        stages = (
+            (w(16), 1, (1, 1), (3, 3), 1),
+            (w(24), 2, (2, 2), (3, 3), 6),
+            (w(40), 2, (2, 2), (5, 5), 6),
+            (w(80), 3, (2, 2), (3, 3), 6),
+            (w(112), 3, (1, 1), (5, 5), 6),
+            (w(192), 4, (2, 2), (5, 5), 6),
+            (w(320), 1, (1, 1), (3, 3), 6),
+        )
+        for s, (feats, depth, strides, kernel, expand) in enumerate(stages):
+            for i in range(depth):
+                x = MBConvBlock(feats, expand, kernel,
+                                strides if i == 0 else (1, 1), self.norm,
+                                self.dtype, name=f"stage{s}_block{i}")(
+                                    x, train=train)
+        x = ConvNormAct(w(1280), (1, 1), norm=self.norm, act=relu6,
+                        dtype=self.dtype, name="head")(x, train=train)
+        return x
+
+
+class TinyBackbone(nn.Module):
+    """Minimal stride-32 conv stack for tests and the BASELINE config-#1
+    'small backbone' slice."""
+
+    width: float = 1.0
+    norm: str = "batchnorm"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        feats = max(8, int(32 * self.width))
+        for i in range(5):  # 2^5 = stride 32
+            x = ConvNormAct(min(feats * 2 ** i, 256), (3, 3), (2, 2),
+                            norm=self.norm, dtype=self.dtype,
+                            name=f"conv{i}")(x, train=train)
+        return x
+
+
+class EncoderBackbone(nn.Module):
+    """Input handling + CNN (reference backbone.py:15-58): images arrive in
+    [0,1], are clipped, and scaled to the CNN's expected range. The reference
+    resizes to ``image_size`` inside the model; here resizing is the data
+    pipeline's job (static shapes under jit), and we only assert it."""
+
+    backbone: str = "resnet"
+    width: float = 1.0
+    norm: str = "batchnorm"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image, *, train: bool = False):
+        x = jnp.clip(image.astype(jnp.float32), 0.0, 1.0)
+        x = (x * 2.0 - 1.0).astype(self.dtype)  # [-1, 1]
+        if self.backbone == "resnet":
+            net = ResNetBackbone(self.width, norm=self.norm, dtype=self.dtype,
+                                 name="resnet")
+        elif self.backbone == "efficientnet_lite":
+            net = EfficientNetLiteBackbone(self.width, norm=self.norm,
+                                           dtype=self.dtype, name="effnet")
+        elif self.backbone == "tiny":
+            net = TinyBackbone(self.width, norm=self.norm, dtype=self.dtype,
+                               name="tiny")
+        else:
+            raise ValueError(f"unknown backbone '{self.backbone}'")
+        return net(x, train=train)
+
+
+class BackboneNeck(nn.Module):
+    """BatchNorm -> 1x1 conv (tanh, lecun_normal) to encoder_dim -> BatchNorm
+    (reference backbone.py:66-95)."""
+
+    encoder_dim: int
+    norm: str = "batchnorm"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, *, train: bool = False):
+        x = make_norm(self.norm, train, self.dtype, "norm1")(features)
+        x = nn.Conv(self.encoder_dim, (1, 1),
+                    kernel_init=nn.initializers.lecun_normal(),
+                    dtype=self.dtype, name="conv")(x)
+        x = jnp.tanh(x)
+        x = make_norm(self.norm, train, self.dtype, "norm2")(x)
+        return x
