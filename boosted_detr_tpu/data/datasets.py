@@ -1,0 +1,283 @@
+"""Dataset acquisition / ETL.
+
+Replaces reference: ModelComponents/datasets.py (wget/unzip + COCO-JSON ->
+pandas ETL). Loaders expose the same surface: ``get_data(download, unzip)``,
+``dataframes(subset)``, ``get_vocab()``, ``max_num_obj()``, ``citation()``.
+
+The produced dataframe contract (consumed by ``data.pipeline.Pipeline``),
+matching reference datasets.py:340-516:
+  - ``image_path`` str, ``id_num`` int, ``width``/``height`` int
+  - ``num_boxes`` int
+  - ``bbox``: list of [xmin, ymin, w, h] normalized to [0,1] (COCO format)
+  - ``category``: list of [name] per object (string labels)
+  - ``attribute``: list of [name, ...] per object, ['<PAD>'] when missing
+    (reference datasets.py:656-661)
+
+``SyntheticShapes`` draws colored rectangles with exactly derivable labels —
+no network needed (this image has zero egress), used by tests, demos and
+benchmarks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from boosted_detr_tpu.config import PAD_TOKEN
+
+
+class DatasetLoader:
+    """Download/unzip scaffolding (reference datasets.py:20-216). Idempotent:
+    existing files are not re-fetched (reference datasets.py:65-73)."""
+
+    urls: Dict[str, str] = {}
+
+    def __init__(self, archive_base_dir: str, local_base_dir: str):
+        self.archive_base_dir = archive_base_dir
+        self.local_base_dir = local_base_dir
+        self._df: Optional[pd.DataFrame] = None
+
+    def get_data(self, download: bool = True, unzip: bool = True) -> None:
+        os.makedirs(self.archive_base_dir, exist_ok=True)
+        os.makedirs(self.local_base_dir, exist_ok=True)
+        for name, url in self.urls.items():
+            archive = os.path.join(self.archive_base_dir, name)
+            if download and not os.path.exists(archive):
+                self._download(url, archive)
+            if unzip and archive.endswith(".zip") and os.path.exists(archive):
+                marker = archive + ".extracted"
+                if not os.path.exists(marker):
+                    with zipfile.ZipFile(archive) as zf:
+                        zf.extractall(self.local_base_dir)
+                    open(marker, "w").close()
+
+    @staticmethod
+    def _download(url: str, dest: str) -> None:
+        import requests
+
+        with requests.get(url, stream=True, timeout=60) as r:
+            r.raise_for_status()
+            with open(dest, "wb") as f:
+                for chunk in r.iter_content(1 << 20):
+                    f.write(chunk)
+
+    # -- surface parity helpers --
+    def max_num_obj(self) -> int:
+        assert self._df is not None, "call dataframes() first"
+        return int(self._df["num_boxes"].max())
+
+    def get_vocab(self) -> Dict[str, List[str]]:
+        assert self._df is not None, "call dataframes() first"
+        cats = {w for row in self._df["category"] for obj in row for w in
+                (obj if isinstance(obj, list) else [obj])}
+        atts = {w for row in self._df["attribute"] for obj in row for w in
+                (obj if isinstance(obj, list) else [obj])}
+        atts.discard(PAD_TOKEN)
+        return {"category": sorted(cats), "attribute": sorted(atts)}
+
+    def citation(self) -> str:
+        return ""
+
+
+def coco_json_to_dataframe(json_path: str, image_dir: str,
+                           cache_path: Optional[str] = None) -> pd.DataFrame:
+    """COCO-format instance JSON -> per-image dataframe (reference
+    datasets.py:307-516): string labels, normalized boxes, <PAD>-filled
+    attributes, cached to JSON."""
+    if cache_path and os.path.exists(cache_path):
+        return pd.read_json(cache_path)
+
+    with open(json_path) as f:
+        info = json.load(f)
+
+    cat_names = {c["id"]: c["name"] for c in info.get("categories", [])}
+    att_names = {a["id"]: a["name"] for a in info.get("attributes", [])}
+    images = {im["id"]: im for im in info["images"]}
+
+    rows: Dict[int, Dict] = {}
+    for ann in info["annotations"]:
+        img = images[ann["image_id"]]
+        row = rows.setdefault(ann["image_id"], {
+            "id_num": ann["image_id"],
+            "file_name": img["file_name"],
+            "image_path": os.path.join(image_dir, img["file_name"]),
+            "width": img["width"], "height": img["height"],
+            "num_boxes": 0, "bbox": [], "category": [], "attribute": [],
+        })
+        x, y, w, h = ann["bbox"]
+        iw, ih = img["width"], img["height"]
+        row["bbox"].append([x / iw, y / ih, w / iw, h / ih])
+        row["category"].append([cat_names.get(ann.get("category_id"),
+                                              PAD_TOKEN)])
+        att_ids = ann.get("attribute_ids", [])
+        row["attribute"].append(
+            [att_names[i] for i in att_ids] if att_ids else [PAD_TOKEN])
+        row["num_boxes"] += 1
+
+    df = pd.DataFrame.from_dict(rows, orient="index").reset_index(drop=True)
+    if cache_path:
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        df.to_json(cache_path)
+    return df
+
+
+class COCOStandard(DatasetLoader):
+    """COCO 2017 (reference datasets.py:219-532)."""
+
+    urls = {
+        "train2017.zip": "http://images.cocodataset.org/zips/train2017.zip",
+        "val2017.zip": "http://images.cocodataset.org/zips/val2017.zip",
+        "annotations_trainval2017.zip":
+            "http://images.cocodataset.org/annotations/"
+            "annotations_trainval2017.zip",
+    }
+
+    def dataframes(self, subset: str = "train") -> pd.DataFrame:
+        name = {"train": "train2017", "val": "val2017"}[subset]
+        json_path = os.path.join(self.local_base_dir, "annotations",
+                                 f"instances_{name}.json")
+        image_dir = os.path.join(self.local_base_dir, name)
+        cache = os.path.join(self.archive_base_dir,
+                             f"{name}_combined_annotations_df.json")
+        self._df = coco_json_to_dataframe(json_path, image_dir, cache)
+        return self._df
+
+    def citation(self) -> str:
+        return ("Lin et al., 'Microsoft COCO: Common Objects in Context', "
+                "ECCV 2014. https://cocodataset.org")
+
+
+class Fashionpedia(DatasetLoader):
+    """Fashionpedia (categories + fine-grained attributes; reference
+    datasets.py:535-743)."""
+
+    urls = {
+        "train2020.zip": "https://s3.amazonaws.com/ifashionist-dataset/"
+                         "images/train2020.zip",
+        "val_test2020.zip": "https://s3.amazonaws.com/ifashionist-dataset/"
+                            "images/val_test2020.zip",
+        "instances_attributes_train2020.json":
+            "https://s3.amazonaws.com/ifashionist-dataset/annotations/"
+            "instances_attributes_train2020.json",
+        "instances_attributes_val2020.json":
+            "https://s3.amazonaws.com/ifashionist-dataset/annotations/"
+            "instances_attributes_val2020.json",
+    }
+
+    def dataframes(self, subset: str = "train") -> pd.DataFrame:
+        name = {"train": "train", "val": "test"}[subset]
+        json_path = os.path.join(
+            self.archive_base_dir, f"instances_attributes_{subset}2020.json")
+        image_dir = os.path.join(self.local_base_dir, name)
+        cache = os.path.join(self.archive_base_dir,
+                             f"{name}_full_annotations_df.json")
+        self._df = coco_json_to_dataframe(json_path, image_dir, cache)
+        return self._df
+
+    def citation(self) -> str:
+        return ("Jia et al., 'Fashionpedia: Ontology, Segmentation, and an "
+                "Attribute Localization Dataset', ECCV 2020.")
+
+
+class UnsplashLite(DatasetLoader):
+    """Unsplash-lite TSV metadata loader (reference datasets.py:746-825):
+    keyword/color labels, no boxes — classification-style rows."""
+
+    urls = {"unsplash-research-dataset-lite-latest.zip":
+            "https://unsplash.com/data/lite/latest"}
+
+    def dataframes(self, subset: str = "train") -> pd.DataFrame:
+        photos = pd.read_csv(
+            os.path.join(self.local_base_dir, "photos.tsv000"), sep="\t")
+        keywords = pd.read_csv(
+            os.path.join(self.local_base_dir, "keywords.tsv000"), sep="\t")
+        kw = keywords.groupby("photo_id")["keyword"].apply(
+            lambda s: [[str(w)] for w in s][:16])
+        df = photos[["photo_id", "photo_image_url", "photo_width",
+                     "photo_height"]].rename(columns={
+                         "photo_image_url": "image_path",
+                         "photo_width": "width", "photo_height": "height"})
+        df["category"] = df["photo_id"].map(kw)
+        df = df.dropna(subset=["category"]).reset_index(drop=True)
+        df["id_num"] = np.arange(len(df))
+        df["num_boxes"] = df["category"].apply(len)
+        df["attribute"] = df["category"].apply(
+            lambda c: [[PAD_TOKEN]] * len(c))
+        df["bbox"] = df["category"].apply(
+            lambda c: [[0.0, 0.0, 1.0, 1.0]] * len(c))
+        self._df = df
+        return df
+
+
+class SyntheticShapes(DatasetLoader):
+    """Procedural detection dataset: colored axis-aligned rectangles on a
+    noisy background. Categories = color names; attributes = size/aspect
+    descriptors. Fully deterministic given ``seed``; no downloads."""
+
+    COLORS = {"red": (0.9, 0.1, 0.1), "green": (0.1, 0.8, 0.15),
+              "blue": (0.12, 0.2, 0.9), "yellow": (0.9, 0.85, 0.1),
+              "magenta": (0.85, 0.1, 0.8), "cyan": (0.1, 0.85, 0.85)}
+    SIZES = ["small", "large"]
+    ASPECTS = ["wide", "tall", "square"]
+
+    def __init__(self, num_images: int = 64, image_size: int = 64,
+                 max_objects: int = 3, seed: int = 0):
+        super().__init__(archive_base_dir="/tmp/synthetic",
+                         local_base_dir="/tmp/synthetic")
+        self.num_images = num_images
+        self.image_size = image_size
+        self.max_objects_cfg = max_objects
+        self.seed = seed
+        self._images: Dict[int, np.ndarray] = {}
+
+    def get_data(self, download: bool = True, unzip: bool = True) -> None:
+        pass  # nothing to fetch
+
+    def get_vocab(self) -> Dict[str, List[str]]:
+        return {"category": sorted(self.COLORS),
+                "attribute": sorted(self.SIZES + self.ASPECTS)}
+
+    def render(self, image_id: int) -> np.ndarray:
+        return self._images[image_id]
+
+    def dataframes(self, subset: str = "train") -> pd.DataFrame:
+        rng = np.random.default_rng(
+            self.seed + (0 if subset == "train" else 10_000))
+        s = self.image_size
+        rows = []
+        color_names = sorted(self.COLORS)
+        for idx in range(self.num_images):
+            img = rng.uniform(0.0, 0.15, (s, s, 3)).astype(np.float32)
+            n = int(rng.integers(1, self.max_objects_cfg + 1))
+            boxes, cats, atts = [], [], []
+            for _ in range(n):
+                w = float(rng.uniform(0.15, 0.5))
+                h = float(rng.uniform(0.15, 0.5))
+                x = float(rng.uniform(0, 1 - w))
+                y = float(rng.uniform(0, 1 - h))
+                color = color_names[int(rng.integers(len(color_names)))]
+                rgb = self.COLORS[color]
+                x0, y0 = int(x * s), int(y * s)
+                x1, y1 = max(x0 + 1, int((x + w) * s)), max(
+                    y0 + 1, int((y + h) * s))
+                img[y0:y1, x0:x1] = rgb
+                boxes.append([x, y, w, h])
+                cats.append([color])
+                size = "large" if w * h > 0.06 else "small"
+                aspect = ("square" if 0.75 < w / h < 1.33 else
+                          "wide" if w > h else "tall")
+                atts.append([size, aspect])
+            self._images[idx + (0 if subset == "train" else 10_000)] = img
+            rows.append({
+                "id_num": idx + (0 if subset == "train" else 10_000),
+                "image_path": f"synthetic://{subset}/{idx}",
+                "width": s, "height": s, "num_boxes": n,
+                "bbox": boxes, "category": cats, "attribute": atts,
+            })
+        self._df = pd.DataFrame(rows)
+        return self._df

@@ -1,0 +1,159 @@
+"""Host-side input pipeline: dataframe -> padded numpy batches -> device.
+
+Replaces reference: ModelComponents/pipeline.py (tf.data). Key reference
+semantics preserved:
+- labels are PADDED to static shapes, never ragged (ragged cost the reference
+  3x training speed, reference README.md:144; static shapes are also what jit
+  requires);
+- bbox pad value -10.0, string pad '<PAD>' (reference pipeline.py:93);
+- images decoded to float32 [0,1], resized to a uniform size (reference
+  pipeline.py:58-64);
+- an unlabeled directory-streaming path with placeholder labels (reference
+  pipeline.py:210-251);
+- box format converters live in ``ops.boxes``.
+
+Strings are converted to integer ids HERE (host) by ``codec.TextCodec``;
+the device never sees text. A background prefetch thread keeps the chip fed.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+from boosted_detr_tpu.config import PAD_TOKEN
+from boosted_detr_tpu.data.codec import TextCodec
+
+BOX_PAD_VALUE = -10.0  # reference pipeline.py:93
+
+
+def load_image(path: str, image_size, dataset=None) -> np.ndarray:
+    """Decode + resize + scale to [0,1] f32 (reference pipeline.py:53-64).
+    ``synthetic://`` paths render from a SyntheticShapes instance."""
+    if path.startswith("synthetic://"):
+        assert dataset is not None, "synthetic paths need the dataset"
+        subset, idx = path[len("synthetic://"):].split("/")
+        img = dataset.render(int(idx) + (0 if subset == "train" else 10_000))
+    else:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            img = np.asarray(im.convert("RGB"), np.float32) / 255.0
+    h, w = image_size
+    if img.shape[:2] != (h, w):
+        import cv2
+
+        img = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+    return np.clip(img.astype(np.float32), 0.0, 1.0)
+
+
+class Pipeline:
+    """COCO-format dataframe -> batches of
+    {image, category_ids, attribute_ids, bbox, num_objects, image_id}.
+
+    (reference Pipeline.data_generator, pipeline.py:92-256)
+    """
+
+    def __init__(self, image_size, max_objects: int, codec: TextCodec,
+                 max_attribute_words: int = 8, dataset=None):
+        self.image_size = tuple(image_size)
+        self.max_objects = max_objects
+        self.max_attribute_words = max_attribute_words
+        self.codec = codec
+        self.dataset = dataset  # for synthetic:// rendering
+
+    def _encode_labels(self, rows) -> Dict[str, np.ndarray]:
+        cats = [r.get("category") or [[PAD_TOKEN]] for r in rows]
+        atts = [r.get("attribute") or [[PAD_TOKEN]] for r in rows]
+        b = len(rows)
+        o = self.max_objects
+        bbox = np.full((b, o, 4), BOX_PAD_VALUE, np.float32)
+        for i, r in enumerate(rows):
+            boxes = r.get("bbox") or []
+            for j, box in enumerate(boxes[:o]):
+                bbox[i, j] = box
+        return {
+            "category_ids": self.codec.encode_categories(cats, o),
+            "attribute_ids": self.codec.encode_attributes(
+                atts, o, self.max_attribute_words),
+            "bbox": bbox,
+            "num_objects": np.asarray(
+                [min(int(r.get("num_boxes") or 0), o) for r in rows],
+                np.int32),
+        }
+
+    def batches(self, df, batch_size: int, shuffle: bool = True,
+                seed: int = 0, drop_remainder: bool = True,
+                augment=None, repeat: bool = False
+                ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield padded numpy batches. ``augment`` is an optional host-side
+        callable(batch_dict, rng) -> batch_dict."""
+        rng = np.random.default_rng(seed)
+        rows = df.to_dict("records")
+        while True:
+            order = rng.permutation(len(rows)) if shuffle else np.arange(
+                len(rows))
+            for start in range(0, len(order), batch_size):
+                idx = order[start:start + batch_size]
+                if len(idx) < batch_size and drop_remainder:
+                    continue
+                chunk = [rows[i] for i in idx]
+                batch = self._encode_labels(chunk)
+                batch["image"] = np.stack([
+                    load_image(r["image_path"], self.image_size, self.dataset)
+                    for r in chunk])
+                batch["image_id"] = np.asarray(
+                    [int(r.get("id_num", -1)) for r in chunk], np.int64)
+                if augment is not None:
+                    batch = augment(batch, rng)
+                yield batch
+            if not repeat:
+                break
+
+    def directory_batches(self, directory: str, batch_size: int
+                          ) -> Iterator[Dict[str, np.ndarray]]:
+        """Unlabeled inference feed from an image directory with placeholder
+        labels (reference pipeline.py:210-251)."""
+        paths = sorted(
+            os.path.join(directory, f) for f in os.listdir(directory)
+            if f.lower().endswith((".jpg", ".jpeg", ".png", ".gif", ".bmp")))
+        for start in range(0, len(paths), batch_size):
+            chunk = paths[start:start + batch_size]
+            rows = [{"bbox": None, "category": None, "attribute": None,
+                     "num_boxes": 0, "id_num": start + i}
+                    for i in range(len(chunk))]
+            batch = self._encode_labels(rows)
+            batch["image"] = np.stack(
+                [load_image(p, self.image_size) for p in chunk])
+            batch["image_path"] = np.asarray(chunk)
+            yield batch
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Background-thread prefetch; optionally places batches with a
+    NamedSharding (per-host feed for the 'data' mesh axis)."""
+    import jax
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                if sharding is not None:
+                    item = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, sharding), item)
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item

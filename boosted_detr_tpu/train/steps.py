@@ -1,0 +1,195 @@
+"""Functional train/eval steps: the whole forward + cost + on-device matching
++ loss + backward + update compiles as ONE XLA program (the BASELINE.json
+north star: nothing leaves HBM).
+
+Replaces the reference's Keras ``train_step`` driving ``DETR.call`` with
+internal ``add_loss`` (reference model.py:145-233) and its host Hungarian
+round trip. Validation reuses the training path exactly like the reference
+(``test_step = train_step``, model.py:235-236) minus the parameter update.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from boosted_detr_tpu.config import LossWeights, ModelConfig, TrainConfig
+from boosted_detr_tpu.ops import matching
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, batch_stats, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   batch_stats=batch_stats, opt_state=tx.init(params), tx=tx)
+
+
+def clip_by_per_variable_norm(max_norm: float) -> optax.GradientTransformation:
+    """Keras ``clipnorm`` semantics: clip EACH gradient tensor by its own L2
+    norm (NOT the global norm) — the reference trains with
+    ``SGD(..., clipnorm=0.1)`` (DETR_COCO.ipynb cell 26)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip(g):
+            norm = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+            return (g * scale).astype(g.dtype)
+
+        return jax.tree_util.tree_map(clip, updates), state
+
+    return init_fn, update_fn
+
+
+def make_optimizer(cfg: TrainConfig, d_model: int = 256,
+                   trainable_mask=None) -> optax.GradientTransformation:
+    """SGD(momentum, nesterov) + per-variable clipnorm + LR schedule
+    (reference DETR_COCO.ipynb cell 26), or AdamW. ``trainable_mask`` (a
+    params-shaped bool pytree) implements staged freezing without recompiling
+    (replacing the reference's .trainable=False + recompile dance,
+    Boosted_DETR_COCO.ipynb cell 30)."""
+    from boosted_detr_tpu.train import schedules
+
+    schedule = schedules.make_schedule(cfg.lr_schedule, cfg.learning_rate,
+                                       cfg.warmup_steps, d_model)
+    chain = [optax.GradientTransformation(*clip_by_per_variable_norm(
+        cfg.clipnorm))] if cfg.clipnorm else []
+    if cfg.optimizer == "sgd":
+        chain.append(optax.sgd(schedule, momentum=cfg.momentum,
+                               nesterov=cfg.nesterov))
+    elif cfg.optimizer == "adamw":
+        chain.append(optax.adamw(schedule, weight_decay=cfg.weight_decay))
+    else:
+        raise ValueError(f"unknown optimizer '{cfg.optimizer}'")
+    tx = optax.chain(*chain)
+    if trainable_mask is not None:
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            jax.tree_util.tree_map(
+                lambda t: "train" if t else "freeze", trainable_mask))
+    return tx
+
+
+def targets_from_batch(batch: Dict[str, jnp.ndarray], num_categories: int,
+                       num_attributes: int):
+    """Device-side analogue of the reference's in-model Tokenization
+    (reference model.py:157, tokenizers.py:40-82), operating on integer ids
+    produced by the host codec: one-hot category [B,O,Vc] and multi-hot
+    attributes [B,O,Va] (max over the padded attribute-word axis)."""
+    category = jax.nn.one_hot(batch["category_ids"], num_categories,
+                              dtype=jnp.float32)
+    att_hot = jax.nn.one_hot(batch["attribute_ids"], num_attributes,
+                             dtype=jnp.float32)  # [B,O,W,Va]
+    attribute = jnp.max(att_hot, axis=2)
+    return category, attribute
+
+
+def compute_losses(preds_list, batch, cfg: ModelConfig,
+                   weights: LossWeights) -> Tuple[jnp.ndarray, Dict]:
+    """Matched loss accumulated over the given prediction blocks (one entry =
+    final-block-only standard DETR, reference model.py:179; multiple entries
+    = intermediate/boosted losses, boosted_model.py:232-243)."""
+    category, attribute = targets_from_batch(batch, cfg.num_categories,
+                                             cfg.num_attributes)
+    bbox = batch["bbox"].astype(jnp.float32)
+    num_objects = batch["num_objects"]
+
+    acc = None
+    metrics = {}
+    for preds in preds_list:
+        losses, mets = matching.matching_loss(
+            category, attribute, bbox, num_objects,
+            preds["category"], preds["attribute"], preds["boxes"],
+            weights=weights, matcher=cfg.matcher)
+        acc = losses if acc is None else {
+            k: acc[k] + losses[k] for k in losses}
+        metrics = mets  # reference reports final block's metric
+    # Keras add_loss parity: per-element losses are summed over the batch
+    # (reference model.py:208 + Keras reduction).
+    scalar = jnp.sum(acc["total"])
+    aux = {f"loss_{k}": jnp.sum(v) for k, v in acc.items()}
+    aux["iou"] = jnp.mean(metrics["iou"]) if metrics else jnp.float32(0)
+    return scalar, aux
+
+
+def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig
+                    ) -> Callable:
+    """Build the jittable train step for a DETR-family model whose
+    ``__call__(image, train, return_intermediate)`` returns prediction
+    dict(s)."""
+    weights = train_cfg.loss_weights
+    if model_cfg.classification_only:
+        weights = dataclasses.replace(weights, box=0.0)
+    intermediate = train_cfg.use_intermediate_losses
+
+    def loss_fn(params, batch_stats, batch, dropout_rng):
+        outs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], train=True, return_intermediate=intermediate,
+            mutable=["batch_stats"], rngs={"dropout": dropout_rng})
+        preds_list = outs if intermediate else [outs]
+        loss, aux = compute_losses(preds_list, batch, model_cfg, weights)
+        return loss, (aux, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   dropout_rng)
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt)
+        aux["loss"] = loss
+        return new_state, aux
+
+    return train_step
+
+
+def make_eval_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig
+                   ) -> Callable:
+    """Validation = the training loss path without updates (reference
+    test_step aliases train_step, model.py:235-236)."""
+    weights = train_cfg.loss_weights
+    if model_cfg.classification_only:
+        weights = dataclasses.replace(weights, box=0.0)
+
+    def eval_step(state: TrainState, batch):
+        outs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], train=False)
+        loss, aux = compute_losses([outs], batch, model_cfg, weights)
+        aux["loss"] = loss
+        return aux
+
+    return eval_step
+
+
+def make_predict_step(model) -> Callable:
+    """Inference: raw probability/box outputs; the host codec turns them into
+    text (reference model.py:226-233 does this in-graph with string ops —
+    TPU-incompatible there, host-side here)."""
+
+    def predict_step(state: TrainState, image):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            image, train=False)
+
+    return predict_step
