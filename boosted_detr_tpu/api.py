@@ -1,0 +1,212 @@
+"""User-facing model API with the reference's exact surface.
+
+A user of the reference builds ``model.DETR(**ModelParameters.default_params
+())``, calls ``compile(optimizer)`` + ``fit(ds)``, and runs inference with
+``model({'image': images})`` getting ``(category_strings, attribute_strings,
+boxes)`` back (reference model.py:30-34, :226-233; README.md:146-158). These
+wrappers keep that surface, internally wiring the Flax module, the host text
+codec, and the Trainer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, Optional, Sequence, Tuple
+
+import numpy as np
+
+from boosted_detr_tpu import config as config_lib
+from boosted_detr_tpu.config import LossWeights, ModelConfig, TrainConfig
+from boosted_detr_tpu.data.codec import TextCodec
+from boosted_detr_tpu.data.pipeline import Pipeline
+from boosted_detr_tpu.train.trainer import Trainer
+
+
+class _ModelBase:
+    _module_cls = None
+    _is_boosted = False
+
+    def __init__(self, num_object_preds: int = 96,
+                 image_size: Tuple[int, int] = (560, 560),
+                 num_encoder_blocks: int = 4, num_encoder_heads: int = 8,
+                 encoder_dim: int = 256, num_decoder_blocks: int = 4,
+                 num_decoder_heads: int = 8, decoder_dim: int = 256,
+                 num_panoptic_heads: int = 1, panoptic_dim: int = 32,
+                 vocab_dict: Optional[Dict[str, Sequence[str]]] = None,
+                 classification_only: bool = False,
+                 attribute_weight: float = 1.0, name: str = "DETR",
+                 **overrides: Any):
+        assert vocab_dict is not None, "vocab_dict is required"
+        self.name = name
+        self.codec = TextCodec(vocab_dict)
+        sizes = self.codec.vocab_size_dict()
+        self.config = ModelConfig(
+            num_object_preds=num_object_preds,
+            image_size=tuple(image_size),
+            num_encoder_blocks=num_encoder_blocks,
+            num_encoder_heads=num_encoder_heads, encoder_dim=encoder_dim,
+            num_decoder_blocks=num_decoder_blocks,
+            num_decoder_heads=num_decoder_heads, decoder_dim=decoder_dim,
+            num_panoptic_heads=num_panoptic_heads, panoptic_dim=panoptic_dim,
+            num_categories=sizes["category"],
+            num_attributes=sizes["attributes"],
+            classification_only=classification_only,
+            **overrides)
+        # loss weights stay OUT of get_config (reference model.py:37-42)
+        self.loss_weights = LossWeights(attribute=100.0 * attribute_weight,
+                                        box=0.0 if classification_only
+                                        else LossWeights.box)
+        self.module = self._module_cls(self.config)
+        self.trainer: Optional[Trainer] = None
+        self._vocab_dict = {k: list(v) for k, v in vocab_dict.items()}
+
+    # -- reference-parity accessors --
+    def get_config(self) -> Dict[str, Any]:
+        """Reference model.py:129-143 (loss weights deliberately excluded)."""
+        c = self.config
+        return {
+            "num_object_preds": c.num_object_preds,
+            "image_size": c.image_size,
+            "num_encoder_blocks": c.num_encoder_blocks,
+            "num_encoder_heads": c.num_encoder_heads,
+            "encoder_dim": c.encoder_dim,
+            "num_decoder_blocks": c.num_decoder_blocks,
+            "num_decoder_heads": c.num_decoder_heads,
+            "decoder_dim": c.decoder_dim,
+            "num_panoptic_heads": c.num_panoptic_heads,
+            "panoptic_dim": c.panoptic_dim,
+            "vocab_dict": self._vocab_dict,
+        }
+
+    def citation(self) -> str:
+        return ("DETR-like model for object detection and fine-grained "
+                "classification, after Carion et al., 'End-to-End Object "
+                "Detection with Transformers' (Apache 2.0); re-implemented "
+                "TPU-natively in JAX.")
+
+    # -- Keras-like training surface --
+    def compile(self, optimizer=None,
+                train_config: Optional[TrainConfig] = None,
+                sample_batch: Optional[Dict[str, np.ndarray]] = None,
+                batch_size: int = 8, **train_overrides: Any) -> "Trainer":
+        tcfg = train_config or TrainConfig()
+        over = dict(train_overrides)
+        over.setdefault("loss_weights", self.loss_weights)
+        if self._is_boosted:
+            over.setdefault("use_intermediate_losses", True)
+        tcfg = tcfg.replace(**over)
+        if sample_batch is None:
+            h, w = self.config.image_size
+            sample_batch = {"image": np.zeros((batch_size, h, w, 3),
+                                              np.float32)}
+        self.trainer = Trainer(self.module, self.config, tcfg,
+                               codec=self.codec)
+        self.trainer.compile(optimizer=optimizer, sample_batch=sample_batch)
+        return self.trainer
+
+    def make_pipeline(self, max_attribute_words: int = 8,
+                      dataset=None) -> Pipeline:
+        return Pipeline(self.config.image_size, self.config.max_objects,
+                        self.codec, max_attribute_words, dataset=dataset)
+
+    def fit(self, batches: Iterable, **kw):
+        assert self.trainer is not None, "call compile() first"
+        return self.trainer.fit(batches, **kw)
+
+    def evaluate(self, batches: Iterable):
+        assert self.trainer is not None, "call compile() first"
+        return self.trainer.evaluate(batches)
+
+    # -- inference: text in/out (reference model.py:226-233) --
+    def __call__(self, inputs, training: bool = False):
+        assert self.trainer is not None, "call compile() first"
+        image = inputs["image"] if isinstance(inputs, dict) else inputs
+        if training:
+            return self.trainer.predict(image, decode_text=False)
+        return self.trainer.predict(image, decode_text=True)
+
+
+class DETR(_ModelBase):
+    """Standard DETR (reference model.py:12)."""
+
+    from boosted_detr_tpu.models.detr import DETR as _module_cls  # noqa
+
+
+class BoostedDETR(_ModelBase):
+    """Boosted weak-learner DETR (reference boosted_model.py:12)."""
+
+    from boosted_detr_tpu.models.boosted import BoostedDETR as _module_cls  # noqa
+    _is_boosted = True
+
+
+class DETR_MultiClassifier:
+    """Classifier pre-trainer sharing a base model's trunk (reference
+    model_pretrainer.py:9). Train with ``pretrainer.make_pretrain_step`` or
+    via ``compile/fit`` here; transfer weights with ``transfer_to_base``."""
+
+    def __init__(self, base_model: _ModelBase,
+                 vocab_dict: Dict[str, Sequence[str]], hidden_dim: int = 256,
+                 name: str = "DETR_MultiClassifier"):
+        from boosted_detr_tpu.models.pretrainer import DETRMultiClassifier
+
+        self.base_model = base_model
+        self.codec = TextCodec(vocab_dict)
+        self.name = name
+        sizes = self.codec.vocab_size_dict()
+        self.module = DETRMultiClassifier(
+            base_model.config, num_classifier_classes=sizes["category"],
+            hidden_dim=hidden_dim)
+        self.state = None
+        self._step = None
+
+    def compile(self, train_config: Optional[TrainConfig] = None,
+                sample_batch: Optional[Dict[str, np.ndarray]] = None,
+                batch_size: int = 8):
+        import jax
+
+        from boosted_detr_tpu.models import pretrainer as pt
+        from boosted_detr_tpu.train import steps as steps_lib
+
+        tcfg = train_config or TrainConfig()
+        if sample_batch is None:
+            h, w = self.base_model.config.image_size
+            sample_batch = {"image": np.zeros((batch_size, h, w, 3),
+                                              np.float32)}
+        variables = jax.jit(self.module.init)(
+            jax.random.PRNGKey(tcfg.seed), sample_batch["image"])
+        tx = steps_lib.make_optimizer(
+            tcfg, d_model=self.base_model.config.decoder_dim)
+        self.state = steps_lib.TrainState.create(
+            variables["params"], variables["batch_stats"], tx)
+        self._step = jax.jit(pt.make_pretrain_step(self.module))
+        return self
+
+    def fit(self, batches: Iterable, epochs: int = 1):
+        import jax
+
+        assert self.state is not None, "call compile() first"
+        history = []
+        rng = jax.random.PRNGKey(0)
+        for _ in range(epochs):
+            it = batches() if callable(batches) else batches
+            losses = []
+            for batch in it:
+                self.state, metrics = self._step(self.state, batch, rng)
+                losses.append(float(metrics["loss"]))
+            history.append(float(np.mean(losses)))
+            print(f"pretrain loss={history[-1]:.4f}", flush=True)
+        return history
+
+    def transfer_to_base(self):
+        """Merge the pre-trained trunk into the base model's live state
+        (reference DETR_COCO.ipynb cell 32)."""
+        from boosted_detr_tpu.models import pretrainer as pt
+
+        base_tr = self.base_model.trainer
+        assert base_tr is not None and self.state is not None
+        merged = pt.transfer_to_detr(
+            {"params": self.state.params,
+             "batch_stats": self.state.batch_stats},
+            {"params": base_tr.state.params,
+             "batch_stats": base_tr.state.batch_stats})
+        base_tr.state = base_tr.state.replace(
+            params=merged["params"], batch_stats=merged["batch_stats"])

@@ -1,0 +1,275 @@
+"""Keras-like Trainer: compile()/fit()/evaluate()/predict().
+
+The reference's UX is ``model.compile(optimizer); model.fit(ds)`` with
+checkpoint/NaN-guard/TensorBoard callbacks (reference DETR_COCO.ipynb cells
+26, 35). This Trainer provides the same surface over the functional core:
+
+- ``compile``: builds the optax optimizer (clipnorm + schedule parity) and
+  the jitted train/eval steps, with optional staged freezing
+  (``train_block`` / ``freeze_backbone``) via optimizer masks — no retrace
+  per stage (SURVEY §7 hard-part 5);
+- ``fit``: epoch loop over host batches, device placement on the mesh,
+  NaN guard (parity with the reference's TerminateOnNaN callback,
+  DETR_COCO.ipynb cell 35), periodic orbax checkpointing with
+  keep-latest-k (SURVEY §5.3/5.4), CSV + stdout metric logging;
+- ``evaluate``: the training loss path without updates (test_step ==
+  train_step in the reference, model.py:235-236);
+- ``predict``: raw probabilities decoded to text by the host codec.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boosted_detr_tpu.config import ModelConfig, TrainConfig
+from boosted_detr_tpu.data.codec import TextCodec
+from boosted_detr_tpu.parallel import mesh as mesh_lib
+from boosted_detr_tpu.train import steps as steps_lib
+
+
+class NaNLossError(RuntimeError):
+    pass
+
+
+class Trainer:
+    def __init__(self, model, model_cfg: ModelConfig,
+                 train_cfg: TrainConfig,
+                 codec: Optional[TextCodec] = None,
+                 mesh=None):
+        self.model = model
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.codec = codec
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
+            train_cfg.mesh_shape)
+        self.state: Optional[steps_lib.TrainState] = None
+        self._train_step = None
+        self._eval_step = None
+        self._predict_step = None
+        self._ckpt_mgr = None
+        self._rng = jax.random.PRNGKey(train_cfg.seed)
+
+    # -- building --------------------------------------------------------
+
+    def _trainable_mask(self, params):
+        """Freezing policy: ``train_block=k`` trains only weak-learner block
+        k's layers (encoder_k/decoder_block_k/*_head_k) with everything else
+        (incl. backbone) frozen — the reference's staged boosting recipe
+        (Boosted_DETR_COCO.ipynb cell 30)."""
+        k = self.train_cfg.train_block
+        if k is None:
+            return None
+        wanted = {f"encoder_{k}", f"decoder_block_{k}", f"category_head_{k}",
+                  f"attribute_head_{k}", f"box_head_{k}", "decoder_prep"}
+
+        def decide(path, _):
+            top = getattr(path[0], "key", None)
+            return top in wanted
+
+        return jax.tree_util.tree_map_with_path(decide, params)
+
+    def compile(self, optimizer=None, sample_batch=None):
+        """Build optimizer + jitted steps + initial state. ``optimizer`` may
+        be a ready optax GradientTransformation (parity with passing a Keras
+        optimizer to compile, reference README.md:43)."""
+        assert sample_batch is not None, "compile needs a sample batch"
+        variables = jax.jit(self.model.init)(
+            jax.random.PRNGKey(self.train_cfg.seed), sample_batch["image"])
+        mask = self._trainable_mask(variables["params"])
+        tx = optimizer if optimizer is not None else steps_lib.make_optimizer(
+            self.train_cfg, d_model=self.model_cfg.decoder_dim,
+            trainable_mask=mask)
+        self.state = steps_lib.TrainState.create(
+            variables["params"], variables["batch_stats"], tx)
+        self._train_step = jax.jit(steps_lib.make_train_step(
+            self.model, self.model_cfg, self.train_cfg))
+        self._eval_step = jax.jit(steps_lib.make_eval_step(
+            self.model, self.model_cfg, self.train_cfg))
+        self._predict_step = jax.jit(steps_lib.make_predict_step(self.model))
+        if self.train_cfg.checkpoint_dir:
+            self._ckpt_mgr = _make_checkpoint_manager(
+                self.train_cfg.checkpoint_dir,
+                keep=self.train_cfg.keep_checkpoints)
+            self.restore()  # resume if a checkpoint exists
+        return self
+
+    # -- checkpointing (reference: ModelCheckpoint + latest_checkpoint
+    #    resume, DETR_COCO.ipynb cells 18, 26) ---------------------------
+
+    def save(self, step: Optional[int] = None):
+        if self._ckpt_mgr is None:
+            return
+        step = int(self.state.step) if step is None else step
+        self._ckpt_mgr.save(step, args=_ckpt_args(self.state))
+        self._ckpt_mgr.wait_until_finished()
+
+    def restore(self) -> bool:
+        if self._ckpt_mgr is None or self._ckpt_mgr.latest_step() is None:
+            return False
+        restored = self._ckpt_mgr.restore(
+            self._ckpt_mgr.latest_step(),
+            args=_ckpt_restore_args(self.state))
+        self.state = self.state.replace(
+            step=jnp.asarray(restored["step"], jnp.int32),
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(self.state.opt_state),
+                jax.tree_util.tree_leaves(restored["opt_state"])))
+        return True
+
+    # -- loops ------------------------------------------------------------
+
+    def _place(self, batch):
+        """Batch-axis sharding over 'data'; falls back to single-device
+        placement when the batch doesn't divide the mesh axis."""
+        keys = ("image", "category_ids", "attribute_ids", "bbox",
+                "num_objects")
+        n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
+        b = int(np.shape(batch["image"])[0])
+        if n_data > 1 and b % n_data == 0:
+            sh = mesh_lib.batch_sharding(self.mesh)
+        else:
+            sh = mesh_lib.replicated(self.mesh)
+        return {k: jax.device_put(v, sh) for k, v in batch.items()
+                if k in keys}
+
+    def fit(self, batches: Iterable[Dict[str, np.ndarray]],
+            epochs: int = 1, steps_per_epoch: Optional[int] = None,
+            validation_batches: Optional[Iterable] = None,
+            log_path: Optional[str] = None,
+            log_every: int = 10,
+            checkpoint_every_epochs: int = 1,
+            batch_fn: Optional[Callable] = None) -> Dict[str, list]:
+        """``batches``: an iterable (or callable returning one per epoch) of
+        numpy batch dicts. Raises NaNLossError on non-finite loss (reference
+        TerminateOnNaN parity)."""
+        assert self.state is not None, "call compile() first"
+        history = {"loss": [], "val_loss": []}
+        writer = _CsvLogger(log_path) if log_path else None
+
+        for epoch in range(epochs):
+            it = batches() if callable(batches) else batches
+            t0 = time.time()
+            n_steps = 0
+            running = 0.0
+            for batch in it:
+                if batch_fn is not None:
+                    batch = batch_fn(batch)
+                batch = self._place(batch)
+                self.state, aux = self._train_step(self.state, batch,
+                                                   self._rng)
+                loss = float(aux["loss"])
+                if not np.isfinite(loss):
+                    raise NaNLossError(
+                        f"non-finite loss at step {int(self.state.step)}")
+                running += loss
+                n_steps += 1
+                if writer and n_steps % log_every == 0:
+                    writer.write(int(self.state.step), {
+                        k: float(v) for k, v in aux.items()})
+                if steps_per_epoch and n_steps >= steps_per_epoch:
+                    break
+            epoch_loss = running / max(n_steps, 1)
+            history["loss"].append(epoch_loss)
+            msg = (f"epoch {epoch + 1}/{epochs}: loss={epoch_loss:.4f} "
+                   f"steps={n_steps} ({time.time() - t0:.1f}s)")
+
+            if validation_batches is not None:
+                vit = (validation_batches() if callable(validation_batches)
+                       else validation_batches)
+                v_losses = []
+                for batch in vit:
+                    batch = self._place(batch)
+                    v_losses.append(float(self._eval_step(
+                        self.state, batch)["loss"]))
+                val = float(np.mean(v_losses)) if v_losses else float("nan")
+                history["val_loss"].append(val)
+                msg += f" val_loss={val:.4f}"
+            print(msg, flush=True)
+
+            if self._ckpt_mgr and (epoch + 1) % checkpoint_every_epochs == 0:
+                self.save()
+        if writer:
+            writer.close()
+        return history
+
+    def evaluate(self, batches: Iterable) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        n = 0
+        for batch in batches:
+            batch = self._place(batch)
+            aux = self._eval_step(self.state, batch)
+            for k, v in aux.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in sums.items()}
+
+    def predict(self, images: np.ndarray, decode_text: bool = True):
+        """Images -> (category_strings, attribute_strings, boxes) via the
+        host codec (reference inference signature, model.py:226-233), or the
+        raw probability dict when ``decode_text=False``."""
+        preds = self._predict_step(self.state, jnp.asarray(images))
+        preds = {k: np.asarray(v) for k, v in preds.items()}
+        if decode_text and self.codec is not None:
+            return self.codec.decode_predictions(preds)
+        return preds
+
+
+class _CsvLogger:
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._f = open(path, "a", newline="")
+        self._writer = None
+
+    def write(self, step: int, metrics: Dict[str, float]):
+        row = {"step": step, **metrics}
+        if self._writer is None:
+            self._writer = csv.DictWriter(self._f, fieldnames=list(row))
+            if self._f.tell() == 0:
+                self._writer.writeheader()
+        self._writer.writerow(row)
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+def _make_checkpoint_manager(directory: str, keep: int = 3):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=keep,
+                                             create=True))
+
+
+def _ckpt_args(state: steps_lib.TrainState):
+    import orbax.checkpoint as ocp
+
+    payload = {
+        "step": np.asarray(state.step),
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": jax.tree_util.tree_leaves(state.opt_state),
+    }
+    return ocp.args.StandardSave(payload)
+
+
+def _ckpt_restore_args(state: steps_lib.TrainState):
+    import orbax.checkpoint as ocp
+
+    template = {
+        "step": np.asarray(state.step),
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": jax.tree_util.tree_leaves(state.opt_state),
+    }
+    return ocp.args.StandardRestore(template)
