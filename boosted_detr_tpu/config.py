@@ -76,7 +76,7 @@ class ModelConfig:
 
     # --- TPU-native knobs ---
     compute_dtype: str = "bfloat16"  # model compute; loss/matching stay f32
-    matcher: str = "hungarian"  # hungarian | auction | auction_pallas | hungarian_host
+    matcher: str = "hungarian"  # hungarian | pallas | auction | hungarian_host
     matcher_epsilon_scaling: float = 0.1  # auction eps-scaling factor
     use_pallas_attention: bool = False
     norm: str = "batchnorm"  # batchnorm | groupnorm (parity flag, SURVEY §7)

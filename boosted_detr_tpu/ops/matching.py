@@ -295,16 +295,17 @@ def hungarian_host(cost: jnp.ndarray, num_objects: jnp.ndarray) -> jnp.ndarray:
 
 def solve_matching(cost: jnp.ndarray, num_objects: jnp.ndarray,
                    method: str = "auction") -> jnp.ndarray:
-    """Dispatch to a matcher backend. method: hungarian | auction |
-    auction_pallas | hungarian_host."""
+    """Dispatch to a matcher backend. method: hungarian (exact, XLA,
+    default) | pallas (exact, Pallas kernel) | auction (approximate) |
+    hungarian_host (scipy oracle; CPU only)."""
     if method == "hungarian":
         return hungarian_lap(cost, num_objects)
     if method == "auction":
         return auction_lap(cost, num_objects)
-    if method == "auction_pallas":
+    if method in ("pallas", "hungarian_pallas"):
         from boosted_detr_tpu.ops import pallas_lap
 
-        return pallas_lap.auction_lap_pallas(cost, num_objects)
+        return pallas_lap.hungarian_lap_pallas(cost, num_objects)
     if method == "hungarian_host":
         return hungarian_host(cost, num_objects)
     raise ValueError(f"unknown matcher '{method}'")
