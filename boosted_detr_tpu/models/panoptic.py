@@ -1,0 +1,200 @@
+"""Panoptic segmentation components.
+
+The reference ships these DARK — built but never wired (imports commented
+out, reference model.py:4; README.md:97 'not yet implemented'):
+``PanopticAttention`` (reference transformers.py:460-559, a 'partial MHA'
+producing per-object attention maps over the image grid — with several
+index/argument bugs, e.g. the query projection is applied to the VALUE
+tensor at transformers.py:536) and ``PanopticNeck`` (reference
+panoptic_neck.py, a U-Net built from kernel-2 VALID convs whose shapes only
+line up by accident).
+
+Here both are implemented working and wired into a ``DETRPanoptic`` model:
+
+- ``PanopticAttention``: multi-head attention scores between object queries
+  and (positional-augmented) image tokens, returned as per-object spatial
+  maps [B, R, C, heads*num_preds] — the DETR-paper mask-seed construction,
+  implemented as intended rather than as the reference's buggy sketch.
+- ``PanopticNeck``: a clean U-Net at a fixed 96x96 working resolution
+  (SAME-padded stride-2 convs + LayerNorm + leaky ReLU down; transposed
+  convs with skip concats up), emitting per-object mask logits
+  [B, num_preds, mask_size, mask_size].
+- ``DETRPanoptic``: shares the full DETR trunk (nested module, so detection
+  checkpoints transfer by subtree copy) and adds masks to the prediction
+  dict.
+- ``mask_loss``: DICE + sigmoid-focal mask loss under the bipartite
+  assignment mask (an extension — the reference defines no mask loss).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from boosted_detr_tpu.config import ModelConfig
+from boosted_detr_tpu.models.detr import DETR
+from boosted_detr_tpu.ops import losses as loss_ops
+
+
+class PanopticAttention(nn.Module):
+    """Per-object attention maps over the image grid."""
+
+    num_heads: int
+    hidden_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_tokens, positional_tokens, decoder_tokens,
+                 grid_hw):
+        r, c = grid_hw
+        b, t, _ = image_tokens.shape
+        head_dim = max(1, self.hidden_dim // self.num_heads)
+        key_in = (image_tokens.astype(jnp.float32)
+                  + positional_tokens.astype(jnp.float32)).astype(self.dtype)
+
+        q = nn.Dense(self.num_heads * head_dim, dtype=self.dtype,
+                     name="query_projection")(decoder_tokens)
+        k = nn.Dense(self.num_heads * head_dim, dtype=self.dtype,
+                     name="key_projection")(key_in)
+        nq = q.shape[1]
+        q = q.reshape(b, nq, self.num_heads, head_dim)
+        k = k.reshape(b, t, self.num_heads, head_dim)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits / jnp.sqrt(jnp.float32(head_dim))
+        maps = jax.nn.softmax(logits, axis=-1)  # [B, H, Q, T]
+        maps = jnp.transpose(maps, (0, 3, 1, 2))  # [B, T, H, Q]
+        return maps.reshape(b, r, c, self.num_heads * nq).astype(self.dtype)
+
+
+class _DownBlock(nn.Module):
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (3, 3), strides=(2, 2), padding="SAME",
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(
+            x.astype(jnp.float32)).astype(self.dtype)
+        return nn.leaky_relu(x, 0.01)
+
+
+class _UpBlock(nn.Module):
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
+                             padding="SAME", dtype=self.dtype,
+                             name="deconv")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(
+            x.astype(jnp.float32)).astype(self.dtype)
+        return nn.leaky_relu(x, 0.01)
+
+
+class PanopticNeck(nn.Module):
+    """U-Net over the per-object attention maps -> per-object mask logits.
+
+    Input [B, R, C, channels]; output [B, num_preds, mask_size, mask_size].
+    """
+
+    num_preds: int
+    width: int = 64
+    mask_size: int = 96
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, maps):
+        b = maps.shape[0]
+        s = self.mask_size
+        x = jax.image.resize(maps.astype(jnp.float32), (b, s, s,
+                                                        maps.shape[-1]),
+                             method="linear").astype(self.dtype)
+        w = self.width
+        d0 = _DownBlock(w, self.dtype, name="down0")(x)        # 48
+        d1 = _DownBlock(w * 2, self.dtype, name="down1")(d0)   # 24
+        d2 = _DownBlock(w * 4, self.dtype, name="down2")(d1)   # 12
+        u2 = _UpBlock(w * 2, self.dtype, name="up2")(d2)       # 24
+        u2 = jnp.concatenate([u2, d1], axis=-1)
+        u1 = _UpBlock(w, self.dtype, name="up1")(u2)           # 48
+        u1 = jnp.concatenate([u1, d0], axis=-1)
+        u0 = _UpBlock(w, self.dtype, name="up0")(u1)           # 96
+        logits = nn.Conv(self.num_preds, (3, 3), padding="SAME",
+                         dtype=jnp.float32, name="mask_conv")(
+                             u0.astype(jnp.float32))  # [B, s, s, num_preds]
+        return jnp.transpose(logits, (0, 3, 1, 2))  # [B, num_preds, s, s]
+
+
+class DETRPanoptic(nn.Module):
+    """DETR + panoptic mask head. The nested 'detr' subtree is checkpoint-
+    compatible with a standalone detector (same transfer mechanism as the
+    pre-trainer)."""
+
+    config: ModelConfig
+    mask_size: int = 96
+
+    def setup(self):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        self.detr = DETR(cfg, name="detr")
+        self.panoptic_attention = PanopticAttention(
+            cfg.num_panoptic_heads, cfg.panoptic_dim, dtype,
+            name="panoptic_attention")
+        self.panoptic_neck = PanopticNeck(
+            cfg.num_object_preds, width=max(32, cfg.panoptic_dim),
+            mask_size=self.mask_size, dtype=dtype, name="panoptic_neck")
+
+    def __call__(self, image, *, train: bool = False):
+        cfg = self.config
+        tokens, pos = self.detr.encode(image, train=train)
+        enc_value, dec, enc_key, _ = self.detr.decoder_prep(tokens, pos)
+        for block in self.detr.decoder_blocks:
+            dec = block(enc_value, dec, enc_key, deterministic=not train)
+        preds = self.detr.apply_heads(dec, train=train)
+
+        h, w = cfg.image_size
+        grid = (-(-h // 32), -(-w // 32))
+        maps = self.panoptic_attention(tokens, pos, dec, grid)
+        preds["masks"] = self.panoptic_neck(maps)  # logits
+        return preds
+
+
+def dice_loss(mask_logits: jnp.ndarray, targets: jnp.ndarray,
+              eps: float = 1.0) -> jnp.ndarray:
+    """Soft DICE loss over trailing spatial dims: [..., H, W] -> [...]."""
+    probs = jax.nn.sigmoid(mask_logits.astype(jnp.float32))
+    t = targets.astype(jnp.float32)
+    num = 2.0 * jnp.sum(probs * t, axis=(-2, -1)) + eps
+    den = jnp.sum(probs, axis=(-2, -1)) + jnp.sum(t, axis=(-2, -1)) + eps
+    return 1.0 - num / den
+
+
+def mask_loss(mask_logits: jnp.ndarray, target_masks: jnp.ndarray,
+              assignment_mask: jnp.ndarray, num_objects: jnp.ndarray,
+              dice_weight: float = 1.0, focal_weight: float = 1.0
+              ) -> jnp.ndarray:
+    """Matched mask loss: for each assigned (object, prediction) pair, DICE +
+    sigmoid-focal between the prediction's mask logits and the object's
+    target mask, normalized batch-globally like the reference's matched
+    losses (losses_and_metrics.py:144-150).
+
+    Args:
+      mask_logits: [B, P, H, W]; target_masks: [B, O, H, W] in {0, 1};
+      assignment_mask: [B, O, P] from the matcher; num_objects: [B].
+    """
+    # gather the matched prediction mask for each object: [B, O, H, W]
+    matched = jnp.einsum("bop,bphw->bohw", assignment_mask.astype(jnp.float32),
+                         mask_logits.astype(jnp.float32))
+    row_has = jnp.max(assignment_mask, axis=-1)  # [B, O]
+    d = dice_loss(matched, target_masks) * row_has
+    probs = jax.nn.sigmoid(matched)
+    focal = jnp.mean(loss_ops.sigmoid_focal_elementwise(
+        target_masks.astype(jnp.float32), probs), axis=(-2, -1)) * row_has
+    total_num = 1.0 + jnp.sum(num_objects).astype(jnp.float32)
+    return (dice_weight * jnp.sum(d, axis=-1)
+            + focal_weight * jnp.sum(focal, axis=-1)) / total_num

@@ -1,0 +1,132 @@
+"""Panoptic components + early-exit inference tests (BASELINE config #5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from boosted_detr_tpu.config import ModelConfig
+from boosted_detr_tpu.models import early_exit, panoptic
+from boosted_detr_tpu.models.detr import DETR
+
+
+TINY = ModelConfig(
+    num_object_preds=6, image_size=(64, 64), num_encoder_blocks=1,
+    num_encoder_heads=2, encoder_dim=16, num_decoder_blocks=3,
+    num_decoder_heads=2, decoder_dim=16, num_categories=5, num_attributes=4,
+    num_panoptic_heads=2, panoptic_dim=16, backbone="tiny",
+    backbone_width=0.25, compute_dtype="float32", max_objects=3,
+    dropout_rate=0.0)
+
+
+def test_panoptic_attention_maps(rng):
+    attn = panoptic.PanopticAttention(num_heads=2, hidden_dim=16)
+    img_tokens = jnp.asarray(rng.normal(size=(2, 12, 16)).astype(np.float32))
+    pos = jnp.asarray(rng.normal(size=(2, 12, 16)).astype(np.float32))
+    dec = jnp.asarray(rng.normal(size=(2, 6, 16)).astype(np.float32))
+    v = attn.init(jax.random.PRNGKey(0), img_tokens, pos, dec, (3, 4))
+    maps = attn.apply(v, img_tokens, pos, dec, (3, 4))
+    assert maps.shape == (2, 3, 4, 2 * 6)
+    # attention maps: each (head, query)'s map sums to 1 over the grid
+    sums = np.asarray(maps).reshape(2, 12, 12).sum(axis=1)
+    assert np.allclose(sums, 1.0, atol=1e-5)
+
+
+def test_panoptic_neck_shapes(rng):
+    neck = panoptic.PanopticNeck(num_preds=6, width=8, mask_size=48)
+    maps = jnp.asarray(rng.normal(size=(2, 3, 4, 12)).astype(np.float32))
+    v = neck.init(jax.random.PRNGKey(0), maps)
+    masks = neck.apply(v, maps)
+    assert masks.shape == (2, 6, 48, 48)
+    assert np.isfinite(np.asarray(masks)).all()
+
+
+def test_detr_panoptic_forward(rng):
+    model = panoptic.DETRPanoptic(TINY, mask_size=48)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    preds = model.apply(v, img)
+    assert preds["masks"].shape == (1, 6, 48, 48)
+    assert preds["boxes"].shape == (1, 6, 4)
+    # trunk is checkpoint-compatible with a standalone detector
+    det = DETR(TINY)
+    dv = jax.jit(det.init)(jax.random.PRNGKey(1), img)
+    assert set(v["params"]["detr"].keys()) == set(dv["params"].keys())
+
+
+def test_mask_loss(rng):
+    b, o, p, s = 2, 3, 6, 16
+    target = (rng.uniform(size=(b, o, s, s)) > 0.7).astype(np.float32)
+    logits = jnp.asarray(rng.normal(size=(b, p, s, s)).astype(np.float32))
+    assign = np.zeros((b, o, p), np.float32)
+    for i in range(b):
+        for j in range(o):
+            assign[i, j, j] = 1.0
+    n = np.array([o, o - 1], np.int32)
+    assign[1, o - 1:] = 0.0
+    loss = panoptic.mask_loss(logits, jnp.asarray(target),
+                              jnp.asarray(assign), jnp.asarray(n))
+    assert loss.shape == (b,)
+    assert np.isfinite(np.asarray(loss)).all()
+    # perfect logits -> lower loss
+    perfect = jnp.asarray((target * 20 - 10))  # [b, o, s, s]
+    # place perfect masks at assigned prediction slots
+    logits_perfect = jnp.zeros((b, p, s, s)).at[:, :o].set(perfect) - 10.0 \
+        * (jnp.arange(p)[None, :, None, None] >= o)
+    loss_perfect = panoptic.mask_loss(logits_perfect, jnp.asarray(target),
+                                      jnp.asarray(assign), jnp.asarray(n))
+    assert float(loss_perfect.sum()) < float(loss.sum())
+
+
+def test_adaptive_select(rng):
+    # fabricate 3 blocks of outputs with rising confidence for image 0 and
+    # low confidence for image 1
+    def mk(conf0, conf1):
+        cat = np.full((2, 4, 5), 0.1, np.float32)
+        cat[0, :, 2] = conf0
+        cat[1, :, 3] = conf1
+        cat /= cat.sum(-1, keepdims=True)
+        return {"category": jnp.asarray(cat),
+                "boxes": jnp.asarray(
+                    rng.uniform(size=(2, 4, 4)).astype(np.float32))}
+
+    o1, o2, o3 = mk(0.2, 0.1), mk(5.0, 0.1), mk(9.0, 0.2)
+    preds, exit_block = early_exit.adaptive_select([o1, o2, o3],
+                                                   threshold=0.75)
+    eb = np.asarray(exit_block)
+    assert eb[0] in (1, 2) and eb[0] < 2 or eb[0] == 1  # image 0 exits early
+    assert eb[1] == 2  # image 1 never confident -> last block
+    # selected preds match the chosen block
+    assert np.allclose(np.asarray(preds["boxes"][1]),
+                       np.asarray(o3["boxes"][1]), atol=1e-6)
+    assert np.allclose(np.asarray(preds["boxes"][0]),
+                       np.asarray([o1, o2, o3][int(eb[0])]["boxes"][0]),
+                       atol=1e-6)
+
+
+def test_incremental_predict_early_stops(rng):
+    model = DETR(TINY)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    # threshold 0 -> always confident -> stops after 1 block
+    predict = early_exit.make_incremental_predict(model, threshold=0.0)
+    preds, blocks_run = predict(variables, img)
+    assert blocks_run == 1
+    assert preds["boxes"].shape == (2, 6, 4)
+    # threshold > 1 -> never confident -> runs all blocks
+    predict = early_exit.make_incremental_predict(model, threshold=1.1)
+    preds, blocks_run = predict(variables, img)
+    assert blocks_run == TINY.num_decoder_blocks
+
+
+def test_adaptive_matches_full_forward(rng):
+    model = DETR(TINY)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    outs = model.apply(variables, img, return_intermediate=True)
+    preds, exit_block = early_exit.adaptive_select(outs, threshold=1.1)
+    # threshold impossible -> last block == plain forward
+    plain = model.apply(variables, img)
+    assert int(exit_block[0]) == TINY.num_decoder_blocks - 1
+    assert np.allclose(np.asarray(preds["boxes"]),
+                       np.asarray(plain["boxes"]), atol=1e-5)
