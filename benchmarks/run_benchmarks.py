@@ -1,0 +1,168 @@
+"""Benchmark suite: throughput + matcher micro-benchmarks + quality check.
+
+Run: ``python benchmarks/run_benchmarks.py [--quick]``
+
+Emits one JSON line per benchmark. Timing methodology (see bench.py and
+memory notes): the axon tunnel memoizes identical dispatches and its
+block_until_ready does not synchronize, so every measurement runs inside a
+content-chained lax.scan chunk and ends with a host value fetch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+
+def _chunked_train_time(model, cfg, tcfg, batch, n=10):
+    import jax
+    import jax.numpy as jnp
+
+    from boosted_detr_tpu.train import steps
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch["image"])
+    tx = steps.make_optimizer(tcfg, d_model=cfg.decoder_dim)
+    state = steps.TrainState.create(variables["params"],
+                                    variables["batch_stats"], tx)
+    train_step = steps.make_train_step(model, cfg, tcfg)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def chunk(state, batch):
+        def body(carry, i):
+            st, _ = carry
+            b = dict(batch, image=batch["image"] + i.astype(jnp.float32)
+                     * 1e-6)
+            st, aux = train_step(st, b, key)
+            return (st, aux["loss"]), aux["loss"]
+
+        (state, _), losses = jax.lax.scan(body, (state, jnp.float32(0)),
+                                          jnp.arange(n))
+        return state, losses
+
+    state, losses = chunk(state, batch)
+    float(losses.sum())
+    t0 = time.perf_counter()
+    state, losses = chunk(state, batch)
+    float(losses.sum())
+    return (time.perf_counter() - t0) / n, float(losses[-1])
+
+
+def make_batch(bs, cfg, rng):
+    import jax.numpy as jnp
+
+    h, w = cfg.image_size
+    return {
+        "image": jnp.asarray(rng.uniform(0, 1, (bs, h, w, 3)), jnp.float32),
+        "category_ids": jnp.asarray(
+            rng.integers(2, cfg.num_categories, (bs, cfg.max_objects)),
+            jnp.int32),
+        "attribute_ids": jnp.asarray(
+            rng.integers(0, cfg.num_attributes, (bs, cfg.max_objects, 4)),
+            jnp.int32),
+        "bbox": jnp.asarray(
+            rng.uniform(0.05, 0.45, (bs, cfg.max_objects, 4)), jnp.float32),
+        "num_objects": jnp.asarray(
+            rng.integers(1, cfg.max_objects + 1, (bs,)), jnp.int32),
+    }
+
+
+def bench_throughput(quick: bool):
+    from boosted_detr_tpu.config import ModelConfig, TrainConfig
+    from boosted_detr_tpu.models.boosted import BoostedDETR
+    from boosted_detr_tpu.models.detr import DETR
+
+    rng = np.random.default_rng(0)
+    configs = [
+        ("detr_resnet_640", ModelConfig(image_size=(640, 640),
+                                        backbone="resnet",
+                                        compute_dtype="bfloat16",
+                                        max_objects=32), DETR, 8),
+        ("detr_resnet_560", ModelConfig(image_size=(560, 560),
+                                        backbone="resnet",
+                                        compute_dtype="bfloat16",
+                                        max_objects=32), DETR, 8),
+        ("detr_effnetlite_640", ModelConfig(image_size=(640, 640),
+                                            backbone="efficientnet_lite",
+                                            compute_dtype="bfloat16",
+                                            max_objects=32), DETR, 8),
+        ("boosted_resnet_640", ModelConfig(image_size=(640, 640),
+                                           backbone="resnet",
+                                           compute_dtype="bfloat16",
+                                           max_objects=32), BoostedDETR, 8),
+    ]
+    if quick:
+        configs = configs[:1]
+    for name, cfg, model_cls, bs in configs:
+        tcfg = TrainConfig(
+            batch_size=bs,
+            use_intermediate_losses=(model_cls is BoostedDETR))
+        dt, loss = _chunked_train_time(model_cls(cfg), cfg, tcfg,
+                                       make_batch(bs, cfg, rng))
+        print(json.dumps({
+            "benchmark": f"train_{name}", "ms_per_step": round(dt * 1e3, 2),
+            "images_per_sec": round(bs / dt, 1), "batch_size": bs,
+            "loss": round(loss, 3)}), flush=True)
+
+
+def bench_matcher():
+    import jax
+    import jax.numpy as jnp
+
+    from boosted_detr_tpu.ops.matching import auction_lap, hungarian_lap
+    from boosted_detr_tpu.ops.pallas_lap import hungarian_lap_pallas
+
+    rng = np.random.default_rng(1)
+    b, o, p = 8, 32, 96
+    cost = jnp.asarray(rng.uniform(0, 10, (b, o, p)).astype(np.float32))
+    n = jnp.asarray(rng.integers(1, o + 1, (b,)).astype(np.int32))
+    for name, solver in [("hungarian_xla", hungarian_lap),
+                         ("hungarian_pallas", hungarian_lap_pallas),
+                         ("auction_xla", auction_lap)]:
+        k = 20
+
+        @jax.jit
+        def chunk(c0, solver=solver):
+            def body(c, i):
+                m = solver(c + i * 1e-7, n)
+                return c + m * 1e-6, m.sum()
+
+            c, sums = jax.lax.scan(body, c0, jnp.arange(k, dtype=jnp.float32))
+            return sums.sum()
+
+        float(chunk(cost))
+        t0 = time.perf_counter()
+        float(chunk(cost + 1e-5))
+        print(json.dumps({
+            "benchmark": f"matcher_{name}",
+            "ms_per_solve": round((time.perf_counter() - t0) / k * 1e3, 3),
+            "shape": [b, o, p]}), flush=True)
+
+    from boosted_detr_tpu.native import lap_binding
+
+    cn = np.asarray(cost)
+    nn = np.asarray(n)
+    t0 = time.perf_counter()
+    for _ in range(50):
+        lap_binding.lap_solve_batch(cn, nn)
+    print(json.dumps({
+        "benchmark": "matcher_native_cpp_host",
+        "ms_per_solve": round((time.perf_counter() - t0) / 50 * 1e3, 3),
+        "shape": [b, o, p]}), flush=True)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    args = parser.parse_args()
+    bench_matcher()
+    bench_throughput(args.quick)
+
+
+if __name__ == "__main__":
+    main()
