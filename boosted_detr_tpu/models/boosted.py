@@ -55,7 +55,9 @@ class BoostedDETR(nn.Module):
         self.encoders = [
             layers.ImageEncoder(1, cfg.num_encoder_heads, cfg.dropout_rate,
                                 cfg.layernorm_epsilon, dtype,
-                                cfg.post_softmax_mask, name=f"encoder_{i}")
+                                cfg.post_softmax_mask,
+                                cfg.use_pallas_attention,
+                                name=f"encoder_{i}")
             for i in range(n)
         ]
         self.decoder_prep = layers.DecoderPrep(
@@ -66,6 +68,7 @@ class BoostedDETR(nn.Module):
                 dropout_rate=cfg.dropout_rate,
                 layernorm_epsilon=cfg.layernorm_epsilon, dtype=dtype,
                 post_softmax_mask=cfg.post_softmax_mask,
+                use_pallas=cfg.use_pallas_attention,
                 name=f"decoder_block_{i}")
             for i in range(n)
         ]

@@ -47,7 +47,7 @@ class DETR(nn.Module):
         self.encoder = layers.ImageEncoder(
             cfg.num_encoder_blocks, cfg.num_encoder_heads, cfg.dropout_rate,
             cfg.layernorm_epsilon, dtype, cfg.post_softmax_mask,
-            name="encoder")
+            cfg.use_pallas_attention, name="encoder")
         self.decoder_prep = layers.DecoderPrep(
             cfg.num_object_preds, cfg.decoder_dim, dtype, name="decoder_prep")
         self.decoder_blocks = [
@@ -56,6 +56,7 @@ class DETR(nn.Module):
                 dropout_rate=cfg.dropout_rate,
                 layernorm_epsilon=cfg.layernorm_epsilon, dtype=dtype,
                 post_softmax_mask=cfg.post_softmax_mask,
+                use_pallas=cfg.use_pallas_attention,
                 name=f"decoder_block_{i}")
             for i in range(cfg.num_decoder_blocks)
         ]

@@ -62,6 +62,7 @@ class MultiheadAttention(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     post_softmax_mask: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, query, key, value, mask=None):
@@ -81,6 +82,22 @@ class MultiheadAttention(nn.Module):
             return x.reshape(b, t, self.num_heads, head_dim)
 
         q, k, v = split(q), split(k), split(v)
+
+        if self.use_pallas and mask is None:
+            # fused blockwise attention kernel (ops/pallas_attention.py)
+            from boosted_detr_tpu.ops.pallas_attention import fused_attention
+
+            b, tq = q.shape[:2]
+            tk = k.shape[1]
+            fold = lambda x: jnp.swapaxes(x, 1, 2).reshape(  # noqa: E731
+                b * self.num_heads, x.shape[1], head_dim)
+            out = fused_attention(fold(q), fold(k), fold(v))
+            out = out.reshape(b, self.num_heads, tq, head_dim)
+            out = jnp.swapaxes(out, 1, 2).reshape(b, tq, proj)
+            return nn.Dense(q_dim,
+                            kernel_init=nn.initializers.glorot_normal(),
+                            dtype=self.dtype, name="output_projection")(
+                                out.astype(self.dtype))
 
         # logits in f32 on the MXU regardless of compute dtype
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
@@ -113,11 +130,13 @@ class AttentionBlock(nn.Module):
     layernorm_epsilon: float = 1e-3
     dtype: jnp.dtype = jnp.float32
     post_softmax_mask: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, query, key, value, *, mask=None, deterministic=True):
         attn = MultiheadAttention(self.num_heads, dtype=self.dtype,
                                   post_softmax_mask=self.post_softmax_mask,
+                                  use_pallas=self.use_pallas,
                                   name="attention")(query, key, value, mask)
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
         # residual add in f32 (reference pins Add layers to float32,
@@ -160,13 +179,15 @@ class EncoderBlock(nn.Module):
     layernorm_epsilon: float = 1e-3
     dtype: jnp.dtype = jnp.float32
     post_softmax_mask: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, features, positional, *, deterministic=True):
         qk = features + positional.astype(features.dtype)
         features = AttentionBlock(
             self.num_heads, self.dropout_rate, self.layernorm_epsilon,
-            self.dtype, self.post_softmax_mask, name="self_attention")(
+            self.dtype, self.post_softmax_mask, self.use_pallas,
+            name="self_attention")(
                 qk, qk, features, deterministic=deterministic)
         # NOTE (fidelity): the reference passes the positional-augmented
         # tensor as the residual stream too (AttentionBlock adds its own
@@ -192,6 +213,7 @@ class ImageEncoder(nn.Module):
     layernorm_epsilon: float = 1e-3
     dtype: jnp.dtype = jnp.float32
     post_softmax_mask: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, features, *, deterministic=True):
@@ -207,7 +229,7 @@ class ImageEncoder(nn.Module):
         for i in range(self.num_blocks):
             tokens = EncoderBlock(
                 self.num_heads, self.dropout_rate, self.layernorm_epsilon,
-                self.dtype, self.post_softmax_mask,
+                self.dtype, self.post_softmax_mask, self.use_pallas,
                 name=f"block_{i}")(tokens, pos_b, deterministic=deterministic)
         return tokens, pos_b
 
@@ -249,6 +271,7 @@ class DecoderBlock(nn.Module):
     layernorm_epsilon: float = 1e-3
     dtype: jnp.dtype = jnp.float32
     post_softmax_mask: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, encoder_value, decoder_features, encoder_key,
@@ -257,11 +280,13 @@ class DecoderBlock(nn.Module):
         if self.self_attention:
             decoder_features = AttentionBlock(
                 self.num_heads, self.dropout_rate, self.layernorm_epsilon,
-                self.dtype, self.post_softmax_mask, name="self_attention")(
+                self.dtype, self.post_softmax_mask, self.use_pallas,
+                name="self_attention")(
                     decoder_features, decoder_features, decoder_features, **kw)
         decoder_features = AttentionBlock(
             self.num_heads, self.dropout_rate, self.layernorm_epsilon,
-            self.dtype, self.post_softmax_mask, name="cross_attention")(
+            self.dtype, self.post_softmax_mask, self.use_pallas,
+            name="cross_attention")(
                 decoder_features, encoder_key, encoder_value, **kw)
         return FeedForwardBlock(self.dropout_rate, self.layernorm_epsilon,
                                 self.dtype, name="ffn")(decoder_features, **kw)

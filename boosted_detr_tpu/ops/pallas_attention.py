@@ -1,0 +1,122 @@
+"""Fused blockwise (flash-style) attention as a Pallas TPU kernel.
+
+At the reference's default geometry the encoder self-attention is only
+~(560/32)^2 = 324 tokens (reference transformers.py:266-275), where plain XLA
+attention is already near-optimal. This kernel exists for the designed-in
+scaling path (SURVEY §5.7): blockwise over the KV axis with an online
+softmax, so memory stays O(block) instead of O(T^2) and the same structure
+extends to sequence/context parallelism for high-resolution inputs. Enabled
+per-model with ``ModelConfig.use_pallas_attention``.
+
+Layout: q/k/v are [BH, T, D] (batch*heads folded); the grid is
+(BH, ceil(Tq/BLOCK_Q)); each program streams KV blocks from VMEM, keeping
+running max/denominator in f32 (the numerically safe online softmax).
+Head dims are zero-padded to the 128-lane width.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_Q = 128
+BLOCK_K = 128
+_NEG = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, t_k: int, scale: float,
+                      n_kv_blocks: int):
+    q = q_ref[0].astype(jnp.float32) * scale  # [BLOCK_Q, D_pad]
+
+    def body(kv_i, carry):
+        acc, m_run, d_run = carry
+        k_blk = k_ref[0, pl.ds(kv_i * BLOCK_K, BLOCK_K), :].astype(
+            jnp.float32)  # [BLOCK_K, D_pad]
+        v_blk = v_ref[0, pl.ds(kv_i * BLOCK_K, BLOCK_K), :].astype(
+            jnp.float32)
+        logits = jnp.dot(q, k_blk.T,
+                         preferred_element_type=jnp.float32)  # [BQ, BK]
+        # mask out padded kv positions
+        kv_ids = kv_i * BLOCK_K + lax.broadcasted_iota(
+            jnp.int32, (1, BLOCK_K), 1)
+        logits = jnp.where(kv_ids < t_k, logits, _NEG)
+
+        m_new = jnp.maximum(m_run, jnp.max(logits, axis=1, keepdims=True))
+        p = jnp.exp(logits - m_new)  # [BQ, BK]
+        alpha = jnp.exp(m_run - m_new)
+        d_new = d_run * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v_blk,
+                                    preferred_element_type=jnp.float32)
+        return acc, m_new, d_new
+
+    d_pad = q.shape[-1]
+    acc0 = jnp.zeros((BLOCK_Q, d_pad), jnp.float32)
+    m0 = jnp.full((BLOCK_Q, 1), _NEG, jnp.float32)
+    d0 = jnp.zeros((BLOCK_Q, 1), jnp.float32)
+    acc, _, denom = lax.fori_loop(0, n_kv_blocks, body, (acc0, m0, d0))
+    o_ref[0] = (acc / jnp.maximum(denom, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Softmax(q k^T / sqrt(d)) v with blockwise online softmax.
+
+    Args:
+      q: [BH, Tq, D]; k, v: [BH, Tk, D] (any float dtype; f32 accumulation).
+
+    Returns: [BH, Tq, D] in q's dtype.
+    """
+    bh, t_q, d = q.shape
+    t_k = k.shape[1]
+    scale = 1.0 / float(d) ** 0.5
+
+    d_pad = _round_up(d, 128)
+    tq_pad = _round_up(t_q, BLOCK_Q)
+    tk_pad = _round_up(t_k, BLOCK_K)
+
+    def pad(x, t_pad):
+        return jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]),
+                           (0, d_pad - d)))
+
+    qp, kp, vp = pad(q, tq_pad), pad(k, tk_pad), pad(v, tk_pad)
+    n_kv_blocks = tk_pad // BLOCK_K
+
+    kernel = functools.partial(_attention_kernel, t_k=t_k, scale=scale,
+                               n_kv_blocks=n_kv_blocks)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh, tq_pad // BLOCK_Q),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, d_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, d_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_Q, d_pad), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d_pad), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :t_q, :d]
+
+
+def attention_reference(q, k, v):
+    """Plain XLA attention for testing."""
+    d = q.shape[-1]
+    logits = jnp.einsum("btd,bsd->bts", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) / float(d) ** 0.5
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bts,bsd->btd", p, v.astype(jnp.float32)).astype(
+        q.dtype)
