@@ -281,3 +281,42 @@ class SyntheticShapes(DatasetLoader):
             })
         self._df = pd.DataFrame(rows)
         return self._df
+
+
+class ClothingDatasetGrigorev(DatasetLoader):
+    """Grigorev clothing dataset (git-clone distribution; reference
+    datasets.py:828-895, whose loader calls a base-class signature that no
+    longer exists — reimplemented working). Expects/clones the repo's
+    images.csv with columns (image, sender_id, label, kids)."""
+
+    GIT_URL = "https://github.com/alexeygrigorev/clothing-dataset.git"
+
+    def get_data(self, download: bool = True, unzip: bool = True) -> None:
+        import subprocess
+
+        os.makedirs(self.local_base_dir, exist_ok=True)
+        repo = os.path.join(self.local_base_dir, "clothing-dataset")
+        if download and not os.path.exists(repo):
+            subprocess.run(["git", "clone", "--depth", "1", self.GIT_URL,
+                            repo], check=True, capture_output=True)
+
+    def dataframes(self, subset: str = "train") -> pd.DataFrame:
+        repo = os.path.join(self.local_base_dir, "clothing-dataset")
+        df = pd.read_csv(os.path.join(repo, "images.csv"))
+        df = df[df["label"] != "Not sure"].reset_index(drop=True)
+        out = pd.DataFrame({
+            "id_num": np.arange(len(df)),
+            "image_path": df["image"].apply(
+                lambda x: os.path.join(repo, "images", f"{x}.jpg")),
+            "width": 0, "height": 0,  # unknown until decode
+            "num_boxes": 1,
+            "bbox": [[[0.0, 0.0, 1.0, 1.0]]] * len(df),
+            "category": [[[l]] for l in df["label"]],
+            "attribute": [[[PAD_TOKEN]]] * len(df),
+        })
+        self._df = out
+        return out
+
+    def citation(self) -> str:
+        return ("Grigorev, 'Clothing dataset (full, high resolution)', "
+                "https://github.com/alexeygrigorev/clothing-dataset")

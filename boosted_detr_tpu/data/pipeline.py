@@ -88,12 +88,20 @@ class Pipeline:
 
     def batches(self, df, batch_size: int, shuffle: bool = True,
                 seed: int = 0, drop_remainder: bool = True,
-                augment=None, repeat: bool = False
+                augment=None, repeat: bool = False,
+                process_index: int = 0, process_count: int = 1
                 ) -> Iterator[Dict[str, np.ndarray]]:
         """Yield padded numpy batches. ``augment`` is an optional host-side
-        callable(batch_dict, rng) -> batch_dict."""
+        callable(batch_dict, rng) -> batch_dict.
+
+        Multi-host: pass ``process_index``/``process_count`` (e.g.
+        jax.process_index()/jax.process_count()) and each host reads its own
+        row stride — the per-process feed sharding the reference's
+        tf.distribute setup never exercised (SURVEY §5.8)."""
         rng = np.random.default_rng(seed)
         rows = df.to_dict("records")
+        if process_count > 1:
+            rows = rows[process_index::process_count]
         while True:
             order = rng.permutation(len(rows)) if shuffle else np.arange(
                 len(rows))
