@@ -88,8 +88,11 @@ class Trainer:
             trainable_mask=mask)
         self.state = steps_lib.TrainState.create(
             variables["params"], variables["batch_stats"], tx)
+        # donate the state: its buffers are reused in place instead of
+        # copied every step (29M params in the flagship config)
         self._train_step = jax.jit(steps_lib.make_train_step(
-            self.model, self.model_cfg, self.train_cfg))
+            self.model, self.model_cfg, self.train_cfg),
+            donate_argnums=(0,))
         self._eval_step = jax.jit(steps_lib.make_eval_step(
             self.model, self.model_cfg, self.train_cfg))
         self._predict_step = jax.jit(steps_lib.make_predict_step(self.model))
@@ -109,6 +112,29 @@ class Trainer:
         step = int(self.state.step) if step is None else step
         self._ckpt_mgr.save(step, args=_ckpt_args(self.state))
         self._ckpt_mgr.wait_until_finished()
+
+    def save_weights(self, path: str):
+        """Keras-style explicit weight save (params + batch_stats) to an
+        orbax single-checkpoint directory (reference save_weights parity,
+        DETR_COCO.ipynb cell 32)."""
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path),
+                   {"params": self.state.params,
+                    "batch_stats": self.state.batch_stats}, force=True)
+        ckptr.wait_until_finished()
+
+    def load_weights(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            {"params": self.state.params,
+             "batch_stats": self.state.batch_stats})
+        self.state = self.state.replace(params=restored["params"],
+                                        batch_stats=restored["batch_stats"])
 
     def restore(self) -> bool:
         if self._ckpt_mgr is None or self._ckpt_mgr.latest_step() is None:
@@ -145,6 +171,7 @@ class Trainer:
             epochs: int = 1, steps_per_epoch: Optional[int] = None,
             validation_batches: Optional[Iterable] = None,
             log_path: Optional[str] = None,
+            tensorboard_dir: Optional[str] = None,
             log_every: int = 10,
             checkpoint_every_epochs: int = 1,
             batch_fn: Optional[Callable] = None) -> Dict[str, list]:
@@ -154,6 +181,7 @@ class Trainer:
         assert self.state is not None, "call compile() first"
         history = {"loss": [], "val_loss": []}
         writer = _CsvLogger(log_path) if log_path else None
+        tb = _TensorBoardLogger(tensorboard_dir) if tensorboard_dir else None
 
         for epoch in range(epochs):
             it = batches() if callable(batches) else batches
@@ -172,9 +200,12 @@ class Trainer:
                         f"non-finite loss at step {int(self.state.step)}")
                 running += loss
                 n_steps += 1
-                if writer and n_steps % log_every == 0:
-                    writer.write(int(self.state.step), {
-                        k: float(v) for k, v in aux.items()})
+                if n_steps % log_every == 0:
+                    scalars = {k: float(v) for k, v in aux.items()}
+                    if writer:
+                        writer.write(int(self.state.step), scalars)
+                    if tb:
+                        tb.write(int(self.state.step), scalars)
                 if steps_per_epoch and n_steps >= steps_per_epoch:
                     break
             epoch_loss = running / max(n_steps, 1)
@@ -199,6 +230,8 @@ class Trainer:
                 self.save()
         if writer:
             writer.close()
+        if tb:
+            tb.close()
         return history
 
     def evaluate(self, batches: Iterable) -> Dict[str, float]:
@@ -221,6 +254,26 @@ class Trainer:
         if decode_text and self.codec is not None:
             return self.codec.decode_predictions(preds)
         return preds
+
+
+class _TensorBoardLogger:
+    """TensorBoard scalar logging (reference notebooks use a TensorBoard
+    callback, DETR_COCO.ipynb cell 35); uses tf.summary host-side only."""
+
+    def __init__(self, logdir: str):
+        import tensorflow as tf
+
+        self._writer = tf.summary.create_file_writer(logdir)
+
+    def write(self, step: int, metrics: Dict[str, float]):
+        import tensorflow as tf
+
+        with self._writer.as_default():
+            for k, v in metrics.items():
+                tf.summary.scalar(k, v, step=step)
+
+    def close(self):
+        self._writer.close()
 
 
 class _CsvLogger:
