@@ -86,6 +86,27 @@ class Pipeline:
                 np.int32),
         }
 
+    def _load_images(self, chunk) -> np.ndarray:
+        """Batch image loading; JPEG files take the native C++ path
+        (native/imgload: libjpeg decode + bilinear resize + thread pool),
+        everything else falls back to per-image PIL/cv2."""
+        paths = [r["image_path"] for r in chunk]
+        if all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+            try:
+                from boosted_detr_tpu.native import imgload_binding
+
+                images, ok = imgload_binding.load_jpeg_batch(
+                    paths, self.image_size)
+                if not ok.all():
+                    for i in np.nonzero(~ok)[0]:
+                        images[i] = load_image(paths[i], self.image_size,
+                                               self.dataset)
+                return images
+            except Exception:
+                pass  # toolchain unavailable -> python path
+        return np.stack([
+            load_image(p, self.image_size, self.dataset) for p in paths])
+
     def batches(self, df, batch_size: int, shuffle: bool = True,
                 seed: int = 0, drop_remainder: bool = True,
                 augment=None, repeat: bool = False,
@@ -111,9 +132,7 @@ class Pipeline:
                     continue
                 chunk = [rows[i] for i in idx]
                 batch = self._encode_labels(chunk)
-                batch["image"] = np.stack([
-                    load_image(r["image_path"], self.image_size, self.dataset)
-                    for r in chunk])
+                batch["image"] = self._load_images(chunk)
                 batch["image_id"] = np.asarray(
                     [int(r.get("id_num", -1)) for r in chunk], np.int64)
                 if augment is not None:

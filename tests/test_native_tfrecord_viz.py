@@ -93,3 +93,56 @@ def test_visualize_smoke(tmp_path, rng):
         np.array([[0.2, 0.2, 0.3, 0.3], [0.0, 0.0, 0.1, 0.1]]),
         save_path=out2)
     assert os.path.getsize(out2) > 0
+
+
+def test_native_jpeg_loader(tmp_path, rng):
+    from PIL import Image
+
+    from boosted_detr_tpu.native import imgload_binding
+
+    paths = []
+    originals = []
+    for i in range(3):
+        arr = rng.uniform(0, 255, (40 + i * 8, 60, 3)).astype(np.uint8)
+        p = str(tmp_path / f"img{i}.jpg")
+        Image.fromarray(arr).save(p, quality=95)
+        paths.append(p)
+        originals.append(arr)
+    images, ok = imgload_binding.load_jpeg_batch(paths, (32, 48))
+    assert ok.all()
+    assert images.shape == (3, 32, 48, 3)
+    assert images.dtype == np.float32
+    assert 0.0 <= images.min() and images.max() <= 1.0
+    # content sanity: mean brightness tracks the original
+    for i in range(3):
+        assert abs(images[i].mean() - originals[i].mean() / 255.0) < 0.05
+
+    # failure path: non-jpeg reports not-ok
+    bad = str(tmp_path / "bad.jpg")
+    open(bad, "wb").write(b"not a jpeg")
+    images, ok = imgload_binding.load_jpeg_batch([bad], (16, 16))
+    assert not ok[0]
+    assert np.allclose(images[0], 0.0)
+
+
+def test_pipeline_uses_native_jpeg_path(tmp_path, rng):
+    from PIL import Image
+
+    from boosted_detr_tpu.data.codec import TextCodec
+    from boosted_detr_tpu.data.pipeline import Pipeline
+    import pandas as pd
+
+    rows = []
+    for i in range(4):
+        arr = rng.uniform(0, 255, (50, 50, 3)).astype(np.uint8)
+        p = str(tmp_path / f"im{i}.jpg")
+        Image.fromarray(arr).save(p)
+        rows.append({"id_num": i, "image_path": p, "width": 50, "height": 50,
+                     "num_boxes": 1, "bbox": [[0.1, 0.1, 0.5, 0.5]],
+                     "category": [["cat"]], "attribute": [["x"]]})
+    df = pd.DataFrame(rows)
+    codec = TextCodec({"category": ["cat"], "attribute": ["x"]})
+    pipe = Pipeline((32, 32), max_objects=2, codec=codec)
+    b = next(pipe.batches(df, batch_size=4, shuffle=False))
+    assert b["image"].shape == (4, 32, 32, 3)
+    assert b["image"].max() <= 1.0 and b["image"].min() >= 0.0
