@@ -135,6 +135,52 @@ class TrainConfig:
         return dataclasses.replace(self, **kw)
 
 
+@dataclasses.dataclass
+class Filepaths:
+    """Path conventions (reference parameters.py:12-56 encodes Colab/Drive
+    paths with interactive input() fallbacks; here plain fields with the
+    same default_params() accessor)."""
+
+    model_name: str = "custom_DETR"
+    dataset_name: str = "COCO"
+    archive_base_dir: str = "/tmp/datasets/archive"
+    local_base_dir: str = "/tmp/datasets/local"
+    checkpoint_load_dir: str = "/tmp/checkpoints"
+    checkpoint_save_dir: str = "/tmp/checkpoints"
+    model_files_dir: str = ""
+    tfrec_files_dir: str = "/tmp/tfrecords"
+
+    def default_params(self, value: Optional[str] = None):
+        params = dataclasses.asdict(self)
+        return params[value] if value is not None else params
+
+
+def from_yaml(path: str, **cli_overrides: Any) -> Tuple[ModelConfig,
+                                                        TrainConfig]:
+    """YAML + CLI config overlay (SURVEY §5.6): a file with optional 'model'
+    and 'train' sections; ``cli_overrides`` use dotted keys like
+    ``model.encoder_dim=512`` or ``train.batch_size=16``."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    model_kw = dict(raw.get("model", {}))
+    train_kw = dict(raw.get("train", {}))
+    for key, val in cli_overrides.items():
+        section, _, name = key.partition(".")
+        if section == "model":
+            model_kw[name] = val
+        elif section == "train":
+            train_kw[name] = val
+        else:
+            raise KeyError(f"override '{key}' must start with model./train.")
+    if "image_size" in model_kw:
+        model_kw["image_size"] = tuple(model_kw["image_size"])
+    if "loss_weights" in train_kw:
+        train_kw["loss_weights"] = LossWeights(**train_kw["loss_weights"])
+    return ModelConfig(**model_kw), TrainConfig(**train_kw)
+
+
 # ---------------------------------------------------------------------------
 # Built-in vocabularies (reference: parameters.py:117-153 hard-codes COCO and
 # Fashionpedia vocab dicts; we expose the same `vocab_dict(name)` surface but

@@ -79,6 +79,14 @@ def category_loss(y_onehot: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     return binary_crossentropy(y, safe_clip(p) * y)
 
 
+def category_match_loss(y_onehot: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Crossentropy without the logarithm: ``sum((1 - p) * y)`` over classes
+    (reference losses_and_metrics.py:39-42 — defined there for matching
+    costs but unused; provided for parity)."""
+    return jnp.sum((1.0 - p.astype(jnp.float32))
+                   * y_onehot.astype(jnp.float32), axis=-1)
+
+
 def sigmoid_focal_elementwise(y: jnp.ndarray, p: jnp.ndarray,
                               alpha: float = FOCAL_ALPHA,
                               gamma: float = FOCAL_GAMMA) -> jnp.ndarray:

@@ -265,6 +265,49 @@ def auction_lap(cost: jnp.ndarray, num_objects: jnp.ndarray,
     return lax.stop_gradient(mask)
 
 
+def greedy_lap(cost: jnp.ndarray, num_objects: jnp.ndarray,
+               shuffle_key=None) -> jnp.ndarray:
+    """Greedy assignment: objects (optionally in shuffled order) each take
+    their cheapest still-unused prediction — a working version of the
+    reference author's commented-out 'TPU friendly' sketch
+    (reference losses_and_metrics.py:255-337). Fast, approximate; kept for
+    experimentation alongside the exact solvers.
+    """
+    cost = lax.stop_gradient(cost.astype(jnp.float32))
+    b, o, p = cost.shape
+    n = num_objects.reshape(b).astype(jnp.int32)
+    row_ids = jnp.arange(o, dtype=jnp.int32)
+    valid_row = row_ids[None, :] < n[:, None]
+
+    order = jnp.broadcast_to(row_ids[None, :], (b, o))
+    if shuffle_key is not None:
+        order = jax.vmap(lambda k: jax.random.permutation(k, o))(
+            jax.random.split(shuffle_key, b)).astype(jnp.int32)
+
+    def body(i, carry):
+        assign, used = carry  # assign [B, O] int32; used [B, P] bool
+        obj = order[:, i]  # [B]
+        active = jnp.take_along_axis(valid_row, obj[:, None], axis=1)[:, 0]
+        c_row = jnp.take_along_axis(cost, obj[:, None, None].repeat(p, 2),
+                                    axis=1)[:, 0]  # [B, P]
+        c_row = jnp.where(used, _INF, c_row)
+        j = jnp.argmin(c_row, axis=1).astype(jnp.int32)  # [B]
+        used = used | (jax.nn.one_hot(j, p, dtype=jnp.bool_)
+                       & active[:, None])
+        new_assign = jnp.where(
+            (jnp.arange(o)[None, :] == obj[:, None]) & active[:, None],
+            j[:, None], assign)
+        return new_assign, used
+
+    assign0 = jnp.full((b, o), -1, jnp.int32)
+    used0 = jnp.zeros((b, p), jnp.bool_)
+    assign, _ = lax.fori_loop(0, o, body, (assign0, used0))
+    mask = jax.nn.one_hot(jnp.where(assign >= 0, assign, p), p,
+                          dtype=jnp.float32)
+    mask = mask * valid_row[..., None].astype(jnp.float32)
+    return lax.stop_gradient(mask)
+
+
 def hungarian_host(cost: jnp.ndarray, num_objects: jnp.ndarray) -> jnp.ndarray:
     """Host-callback exact Hungarian matching (scipy), for oracle testing and
     CPU debugging. Mirrors reference losses_and_metrics.py:234-245 semantics.
@@ -306,6 +349,8 @@ def solve_matching(cost: jnp.ndarray, num_objects: jnp.ndarray,
         from boosted_detr_tpu.ops import pallas_lap
 
         return pallas_lap.hungarian_lap_pallas(cost, num_objects)
+    if method == "greedy":
+        return greedy_lap(cost, num_objects)
     if method == "hungarian_host":
         return hungarian_host(cost, num_objects)
     raise ValueError(f"unknown matcher '{method}'")

@@ -117,3 +117,12 @@ def test_box_cost_shape(rng):
     out = L.pairwise(L.box_loss, jnp.asarray(t), jnp.asarray(p))
     assert out.shape == (2, 5, 8)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_category_match_loss(rng):
+    # sum((1-p)*y): for one-hot y equals 1 - p_true
+    v = 6
+    y = np.eye(v, dtype=np.float32)[rng.integers(0, v, size=(3,))]
+    p = rng.uniform(0, 1, size=(3, v)).astype(np.float32)
+    out = np.asarray(L.category_match_loss(jnp.asarray(y), jnp.asarray(p)))
+    assert np.allclose(out, 1.0 - (p * y).sum(-1), atol=1e-6)

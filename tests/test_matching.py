@@ -215,3 +215,25 @@ def test_matching_loss_classification_only(rng):
     w = LossWeights(box=0.0)
     losses, _ = matching.matching_loss(*map(jnp.asarray, batch), weights=w)
     assert np.allclose(np.asarray(losses["box"]), 0.0)
+
+
+def test_greedy_matcher_valid_and_reasonable(rng):
+    """Greedy matcher (the reference author's sketch, working): valid
+    assignment, cost within a loose factor of optimal on random inputs."""
+    b, o, p = 4, 8, 24
+    cost = rng.uniform(0, 10, size=(b, o, p)).astype(np.float32)
+    num_objects = rng.integers(0, o + 1, size=(b,)).astype(np.int32)
+    mask = np.asarray(matching.greedy_lap(jnp.asarray(cost),
+                                          jnp.asarray(num_objects)))
+    _check_valid(mask, num_objects)
+    oracle = _oracle_mask(cost, num_objects)
+    assert (mask * cost).sum() <= 2.0 * (oracle * cost).sum() + 1.0
+
+
+def test_greedy_matcher_shuffled(rng):
+    cost = rng.uniform(0, 1, size=(2, 4, 8)).astype(np.float32)
+    n = np.array([4, 3], np.int32)
+    mask = np.asarray(matching.greedy_lap(
+        jnp.asarray(cost), jnp.asarray(n),
+        shuffle_key=jax.random.PRNGKey(0)))
+    _check_valid(mask, n)

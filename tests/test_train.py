@@ -142,3 +142,27 @@ def test_staged_freezing_mask(rng):
     head_after = jax.tree_util.tree_leaves(new_state.params["category_head"])
     assert any(not np.allclose(a, b)
                for a, b in zip(head_before, head_after))
+
+
+def test_yaml_cli_config_overlay(tmp_path):
+    from boosted_detr_tpu import config as C
+
+    path = tmp_path / "cfg.yaml"
+    path.write_text(
+        "model:\n  encoder_dim: 128\n  image_size: [320, 320]\n"
+        "train:\n  batch_size: 4\n  loss_weights:\n    category: 500.0\n")
+    mcfg, tcfg = C.from_yaml(str(path), **{"model.num_encoder_blocks": 2,
+                                           "train.learning_rate": 5e-4})
+    assert mcfg.encoder_dim == 128 and mcfg.image_size == (320, 320)
+    assert mcfg.num_encoder_blocks == 2
+    assert tcfg.batch_size == 4 and tcfg.learning_rate == 5e-4
+    assert tcfg.loss_weights.category == 500.0
+
+
+def test_filepaths_parity():
+    from boosted_detr_tpu.config import Filepaths
+
+    fp = Filepaths(dataset_name="Fashionpedia")
+    params = fp.default_params()
+    assert params["dataset_name"] == "Fashionpedia"
+    assert fp.default_params("checkpoint_save_dir") == "/tmp/checkpoints"
