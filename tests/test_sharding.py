@@ -85,3 +85,19 @@ def test_entry_compiles_eval_shape():
     out = jax.eval_shape(fn, *args)
     assert out["category"].shape[0] == 2
     assert out["boxes"].shape[-1] == 4
+
+
+@requires_8
+def test_context_parallel_attention_exact(rng):
+    """KV sharded over the mesh must equal plain attention exactly."""
+    from boosted_detr_tpu.ops.pallas_attention import attention_reference
+    from boosted_detr_tpu.parallel import context_parallel
+
+    m = mesh_lib.make_mesh({"data": 2, "model": 4})
+    q = jnp.asarray(rng.normal(size=(2, 16, 32)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 64, 32)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 64, 32)).astype(np.float32))
+    out = context_parallel.context_parallel_attention(q, k, v, m,
+                                                      axis="model")
+    ref = attention_reference(q, k, v)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
