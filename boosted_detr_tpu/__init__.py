@@ -16,10 +16,22 @@ A from-scratch re-design of the capabilities of mvenouziou/Boosted_DETR
 
 The reference's acknowledged TPU blocker — a host-side scipy Hungarian matcher
 invoked through `tf.numpy_function` (reference: ModelComponents/
-losses_and_metrics.py:249) — is replaced by a batched auction LAP solver that
-runs on-device, so the full train step compiles as one XLA program.
+losses_and_metrics.py:249) — is replaced by an exact batched Hungarian solver
+that runs on-device (XLA and Pallas forms, plus approximate auction/greedy
+backends), so the full train step compiles as one XLA program.
 """
 
 __version__ = "0.1.0"
 
-from boosted_detr_tpu.config import ModelConfig, TrainConfig, default_params  # noqa: F401
+from boosted_detr_tpu.config import (LossWeights, ModelConfig,  # noqa: F401
+                                     TrainConfig, default_params)
+
+
+def __getattr__(name):
+    # lazy top-level access to the user-facing API classes:
+    # boosted_detr_tpu.DETR / BoostedDETR / DETR_MultiClassifier
+    if name in ("DETR", "BoostedDETR", "DETR_MultiClassifier"):
+        from boosted_detr_tpu import api
+
+        return getattr(api, name)
+    raise AttributeError(name)

@@ -76,8 +76,9 @@ class ModelConfig:
 
     # --- TPU-native knobs ---
     compute_dtype: str = "bfloat16"  # model compute; loss/matching stay f32
-    matcher: str = "hungarian"  # hungarian | pallas | auction | hungarian_host
-    matcher_epsilon_scaling: float = 0.1  # auction eps-scaling factor
+    # hungarian (exact, XLA, default) | pallas (exact, kernel) |
+    # auction / greedy (approximate) | hungarian_host (scipy; CPU only)
+    matcher: str = "hungarian"
     use_pallas_attention: bool = False
     norm: str = "batchnorm"  # batchnorm | groupnorm (parity flag, SURVEY §7)
 
