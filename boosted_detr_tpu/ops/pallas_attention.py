@@ -66,16 +66,9 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, t_k: int, scale: float,
     o_ref[0] = (acc / jnp.maximum(denom, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    interpret: bool = False) -> jnp.ndarray:
-    """Softmax(q k^T / sqrt(d)) v with blockwise online softmax.
-
-    Args:
-      q: [BH, Tq, D]; k, v: [BH, Tk, D] (any float dtype; f32 accumulation).
-
-    Returns: [BH, Tq, D] in q's dtype.
-    """
+def _fused_attention_fwd_impl(q: jnp.ndarray, k: jnp.ndarray,
+                              v: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    """Kernel-backed forward (see fused_attention)."""
     bh, t_q, d = q.shape
     t_k = k.shape[1]
     scale = 1.0 / float(d) ** 0.5
@@ -110,6 +103,53 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         interpret=interpret,
     )(qp, kp, vp)
     return out[:, :t_q, :d]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_attention(q, k, v, interpret):
+    return _fused_attention_fwd_impl(q, k, v, interpret)
+
+
+def _fwd(q, k, v, interpret):
+    return _fused_attention_fwd_impl(q, k, v, interpret), (q, k, v)
+
+
+def _bwd(interpret, residuals, g):
+    """Exact attention backward in plain XLA (recompute-from-inputs; the
+    standard softmax-attention VJP). A fused backward kernel is future work —
+    this keeps gradients correct while the forward uses the kernel."""
+    q, k, v = residuals
+    d = q.shape[-1]
+    scale = 1.0 / float(d) ** 0.5
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    logits = jnp.einsum("btd,bsd->bts", qf, kf) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    dv = jnp.einsum("bts,btd->bsd", p, gf)
+    dp = jnp.einsum("btd,bsd->bts", gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bts,bsd->btd", ds, kf) * scale
+    dk = jnp.einsum("bts,btd->bsd", ds, qf) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_fused_attention.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Softmax(q k^T / sqrt(d)) v with blockwise online softmax (Pallas
+    forward kernel + exact custom-VJP backward).
+
+    Args:
+      q: [BH, Tq, D]; k, v: [BH, Tk, D] (any float dtype; f32 accumulation).
+
+    Returns: [BH, Tq, D] in q's dtype.
+    """
+    return _fused_attention(q, k, v, interpret)
 
 
 def attention_reference(q, k, v):

@@ -106,12 +106,16 @@ class Trainer:
     # -- checkpointing (reference: ModelCheckpoint + latest_checkpoint
     #    resume, DETR_COCO.ipynb cells 18, 26) ---------------------------
 
-    def save(self, step: Optional[int] = None):
+    def save(self, step: Optional[int] = None, wait: bool = True):
+        """Checkpoint the full train state. ``wait=False`` leaves the orbax
+        save running asynchronously (preemptible-TPU friendly, SURVEY §5.3);
+        a later save/restore joins it."""
         if self._ckpt_mgr is None:
             return
         step = int(self.state.step) if step is None else step
         self._ckpt_mgr.save(step, args=_ckpt_args(self.state))
-        self._ckpt_mgr.wait_until_finished()
+        if wait:
+            self._ckpt_mgr.wait_until_finished()
 
     def save_weights(self, path: str):
         """Keras-style explicit weight save (params + batch_stats) to an
@@ -227,7 +231,7 @@ class Trainer:
             print(msg, flush=True)
 
             if self._ckpt_mgr and (epoch + 1) % checkpoint_every_epochs == 0:
-                self.save()
+                self.save(wait=False)  # async; joined on exit/restore
         if writer:
             writer.close()
         if tb:
@@ -244,6 +248,23 @@ class Trainer:
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
         return {k: v / max(n, 1) for k, v in sums.items()}
+
+    def export_inference_fn(self):
+        """A self-contained compiled inference callable for serving: images
+        -> (category_strings, attribute_strings, boxes) via the host codec,
+        with the current weights baked in as captured constants."""
+        state = self.state
+        predict = self._predict_step
+        codec = self.codec
+
+        def serve(images: np.ndarray):
+            preds = predict(state, jnp.asarray(images))
+            preds = {k: np.asarray(v) for k, v in preds.items()}
+            if codec is not None:
+                return codec.decode_predictions(preds)
+            return preds
+
+        return serve
 
     def predict(self, images: np.ndarray, decode_text: bool = True):
         """Images -> (category_strings, attribute_strings, boxes) via the

@@ -53,3 +53,21 @@ def test_mha_pallas_flag_matches_xla(rng):
     finally:
         PA.fused_attention = orig
     assert np.allclose(np.asarray(out_xla), np.asarray(out_pal), atol=1e-4)
+
+
+def test_fused_attention_gradients_match_reference(rng):
+    q = jnp.asarray(rng.normal(size=(2, 32, 32)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 48, 32)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 48, 32)).astype(np.float32))
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fused, g_ref):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-3), \
+            np.abs(np.asarray(a) - np.asarray(b)).max()
