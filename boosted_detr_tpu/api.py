@@ -90,7 +90,11 @@ class _ModelBase:
                 batch_size: int = 8, **train_overrides: Any) -> "Trainer":
         tcfg = train_config or TrainConfig()
         over = dict(train_overrides)
-        over.setdefault("loss_weights", self.loss_weights)
+        # loss-weight precedence: explicit kwarg > an explicit non-default
+        # train_config.loss_weights > this model's constructor-derived
+        # weights (attribute_weight / classification_only)
+        if "loss_weights" not in over and tcfg.loss_weights == LossWeights():
+            over["loss_weights"] = self.loss_weights
         if self._is_boosted:
             over.setdefault("use_intermediate_losses", True)
         tcfg = tcfg.replace(**over)

@@ -38,6 +38,17 @@ def load_image(path: str, image_size, dataset=None) -> np.ndarray:
         assert dataset is not None, "synthetic paths need the dataset"
         subset, idx = path[len("synthetic://"):].split("/")
         img = dataset.render(int(idx) + (0 if subset == "train" else 10_000))
+    elif path.startswith(("http://", "https://")):
+        # URL-based datasets (e.g. UnsplashLite image_path columns)
+        import io
+
+        import requests
+        from PIL import Image
+
+        r = requests.get(path, timeout=30)
+        r.raise_for_status()
+        with Image.open(io.BytesIO(r.content)) as im:
+            img = np.asarray(im.convert("RGB"), np.float32) / 255.0
     else:
         from PIL import Image
 
@@ -91,7 +102,9 @@ class Pipeline:
         (native/imgload: libjpeg decode + bilinear resize + thread pool),
         everything else falls back to per-image PIL/cv2."""
         paths = [r["image_path"] for r in chunk]
-        if all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+        if all(p.lower().endswith((".jpg", ".jpeg"))
+               and not p.startswith(("http://", "https://", "synthetic://"))
+               for p in paths):
             try:
                 from boosted_detr_tpu.native import imgload_binding
 
@@ -167,6 +180,7 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
+    _ERR = object()
 
     def worker():
         try:
@@ -175,12 +189,15 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
                     item = jax.tree_util.tree_map(
                         lambda x: jax.device_put(x, sharding), item)
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as exc:  # propagate to the consumer
+            q.put((_ERR, exc))
 
     threading.Thread(target=worker, daemon=True).start()
     while True:
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
         yield item

@@ -26,6 +26,21 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+class _AdaptiveGroupNorm(nn.Module):
+    """GroupNorm whose group count is the largest divisor of the channel
+    count <= 32 (plain GroupNorm(32) crashes on channel counts that 32 does
+    not divide, e.g. efficientnet_lite stage widths)."""
+
+    dtype_: Any
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        groups = next(g for g in range(min(32, c), 0, -1) if c % g == 0)
+        return nn.GroupNorm(num_groups=groups, epsilon=1e-3,
+                            dtype=self.dtype_, name="gn")(x)
+
+
 def make_norm(norm: str, train: bool, dtype: jnp.dtype,
               name: str) -> Callable:
     """BatchNorm (Keras-default momentum .99 / eps 1e-3) or GroupNorm — the
@@ -36,8 +51,7 @@ def make_norm(norm: str, train: bool, dtype: jnp.dtype,
         return nn.BatchNorm(use_running_average=not train, momentum=0.99,
                             epsilon=1e-3, dtype=dtype, name=name)
     if norm == "groupnorm":
-        return nn.GroupNorm(num_groups=32, epsilon=1e-3, dtype=dtype,
-                            name=name)
+        return _AdaptiveGroupNorm(dtype, name=name)
     raise ValueError(f"unknown norm '{norm}'")
 
 

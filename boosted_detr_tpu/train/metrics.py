@@ -128,14 +128,15 @@ def compute_map(predictions: Sequence[Dict[str, np.ndarray]],
         per_class[cls] = float(np.nanmean(ap[ci]))
 
     valid = ~np.isnan(ap).all(axis=1)
+    i50 = int(np.argmin(np.abs(thresholds - 0.50)))
+    i75 = int(np.argmin(np.abs(thresholds - 0.75)))
     result = {
         "mAP": float(np.nanmean(ap[valid])) if valid.any() else 0.0,
-        "mAP50": float(np.nanmean(ap[valid][:, 0])) if valid.any() else 0.0,
+        "mAP50": float(np.nanmean(ap[valid][:, i50])) if valid.any() else 0.0,
+        "mAP75": (float(np.nanmean(ap[valid][:, i75]))
+                  if valid.any() else 0.0),
         "per_class": per_class,
     }
-    i75 = int(np.argmin(np.abs(thresholds - 0.75)))
-    result["mAP75"] = (float(np.nanmean(ap[valid][:, i75]))
-                       if valid.any() else 0.0)
     return result
 
 

@@ -138,14 +138,22 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig
         weights = dataclasses.replace(weights, box=0.0)
     intermediate = train_cfg.use_intermediate_losses
 
+    loss_block = train_cfg.train_block if intermediate else None
+
     def loss_fn(params, batch_stats, batch, dropout_rng):
         outs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["image"], train=True, return_intermediate=intermediate,
             mutable=["batch_stats"], rngs={"dropout": dropout_rng})
         preds_list = outs if intermediate else [outs]
+        if loss_block is not None:
+            # staged boosted training: only the focused block's cumulative
+            # loss contributes (reference boosted_model.py:232-246 stops the
+            # forward at the focused layer; gradients are identical because
+            # later blocks are strictly downstream of block k)
+            preds_list = [preds_list[min(loss_block, len(preds_list) - 1)]]
         loss, aux = compute_losses(preds_list, batch, model_cfg, weights)
-        return loss, (aux, mutated["batch_stats"])
+        return loss, (aux, mutated.get("batch_stats", {}))
 
     def train_step(state: TrainState, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)

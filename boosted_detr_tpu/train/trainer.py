@@ -87,7 +87,7 @@ class Trainer:
             self.train_cfg, d_model=self.model_cfg.decoder_dim,
             trainable_mask=mask)
         self.state = steps_lib.TrainState.create(
-            variables["params"], variables["batch_stats"], tx)
+            variables["params"], variables.get("batch_stats", {}), tx)
         # donate the state: its buffers are reused in place instead of
         # copied every step (29M params in the flagship config)
         self._train_step = jax.jit(steps_lib.make_train_step(
@@ -212,7 +212,12 @@ class Trainer:
                         tb.write(int(self.state.step), scalars)
                 if steps_per_epoch and n_steps >= steps_per_epoch:
                     break
-            epoch_loss = running / max(n_steps, 1)
+            if n_steps == 0:
+                raise ValueError(
+                    "the batch iterable was empty this epoch — pass a "
+                    "CALLABLE returning a fresh iterator per epoch (a plain "
+                    "generator is exhausted after the first epoch)")
+            epoch_loss = running / n_steps
             history["loss"].append(epoch_loss)
             msg = (f"epoch {epoch + 1}/{epochs}: loss={epoch_loss:.4f} "
                    f"steps={n_steps} ({time.time() - t0:.1f}s)")
@@ -236,6 +241,8 @@ class Trainer:
             writer.close()
         if tb:
             tb.close()
+        if self._ckpt_mgr is not None:
+            self._ckpt_mgr.wait_until_finished()  # join async epoch saves
         return history
 
     def evaluate(self, batches: Iterable) -> Dict[str, float]:

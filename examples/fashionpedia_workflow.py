@@ -63,10 +63,14 @@ def device_augment(batch, rng):
 
 
 def pretrain(model: api.DETR, pipe, train_df, epochs: int = 20):
-    """Classifier pre-training sharing the detector trunk (cells 26-32)."""
+    """Classifier pre-training sharing the detector trunk (cells 26-32).
+    The base detector must be compiled first so the trained trunk can be
+    transferred into its live state."""
+    sample = next(pipe.batches(train_df, batch_size=8))
+    if model.trainer is None:
+        model.compile(sample_batch=sample)
     pre = api.DETR_MultiClassifier(
         model, vocab_dict=vocabularies.vocab_dict("Fashionpedia"))
-    sample = next(pipe.batches(train_df, batch_size=8))
     pre.compile(sample_batch=sample)
     pre.fit(lambda: pipe.batches(train_df, batch_size=8, repeat=False),
             epochs=epochs)
@@ -77,12 +81,17 @@ def train_detection(model: api.DETR, pipe, train_df, val_df,
                     paths: Filepaths, epochs: int = 300):
     """Detection training with the reference's exact recipe (cells 26, 35):
     SGD(momentum .9, nesterov, clipnorm .1) + CosineDecayRestarts(1e-3, 4000,
-    m_mul .95, alpha .1), batch 8, checkpoints each epoch, NaN guard."""
+    m_mul .95, alpha .1), batch 8, checkpoints each epoch, NaN guard.
+    Re-compiling keeps the pre-trained weights by carrying the state over."""
     sample = next(pipe.batches(train_df, batch_size=8))
+    prev_state = model.trainer.state if model.trainer else None
     model.compile(sample_batch=sample, train_config=TrainConfig(
         batch_size=8, optimizer="sgd", momentum=0.9, nesterov=True,
         clipnorm=0.1, learning_rate=1e-3, lr_schedule="cosine_restarts",
         warmup_steps=4000, checkpoint_dir=paths.checkpoint_save_dir))
+    if prev_state is not None:
+        model.trainer.state = model.trainer.state.replace(
+            params=prev_state.params, batch_stats=prev_state.batch_stats)
     rng = np.random.default_rng(0)
     return model.fit(
         lambda: pipe.batches(train_df, batch_size=8,
