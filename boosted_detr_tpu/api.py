@@ -120,6 +120,29 @@ class _ModelBase:
         assert self.trainer is not None, "call compile() first"
         return self.trainer.evaluate(batches)
 
+    # -- whole-model persistence (config + vocab + weights) --
+    def save(self, path: str):
+        """Save config + vocabulary + weights to a directory (the Keras
+        save_model equivalent; reference persists weights-only checkpoints
+        plus code-side config)."""
+        import json
+        import os
+
+        assert self.trainer is not None, "call compile() first"
+        os.makedirs(path, exist_ok=True)
+        meta = {"class": type(self).__name__, "config": self.get_config(),
+                "model_overrides": {
+                    "backbone": self.config.backbone,
+                    "backbone_width": self.config.backbone_width,
+                    "compute_dtype": self.config.compute_dtype,
+                    "max_objects": self.config.max_objects,
+                    "matcher": self.config.matcher,
+                    "norm": self.config.norm,
+                }}
+        with open(os.path.join(path, "model_config.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        self.trainer.save_weights(os.path.join(path, "weights"))
+
     # -- inference: text in/out (reference model.py:226-233) --
     def __call__(self, inputs, training: bool = False):
         assert self.trainer is not None, "call compile() first"
@@ -214,3 +237,20 @@ class DETR_MultiClassifier:
              "batch_stats": base_tr.state.batch_stats})
         base_tr.state = base_tr.state.replace(
             params=merged["params"], batch_stats=merged["batch_stats"])
+
+
+def load_model(path: str, **compile_kwargs):
+    """Rebuild a saved model (see ``_ModelBase.save``): reconstructs the
+    class from its config + vocabulary, compiles, and restores weights."""
+    import json
+    import os
+
+    with open(os.path.join(path, "model_config.json")) as f:
+        meta = json.load(f)
+    cls = {"DETR": DETR, "BoostedDETR": BoostedDETR}[meta["class"]]
+    cfg = dict(meta["config"])
+    cfg["image_size"] = tuple(cfg["image_size"])
+    model = cls(**cfg, **meta.get("model_overrides", {}))
+    model.compile(**compile_kwargs)
+    model.trainer.load_weights(os.path.join(path, "weights"))
+    return model

@@ -124,3 +124,24 @@ def test_api_boosted_and_pretrainer():
     pre.compile(sample_batch=sample, batch_size=4)
     pre.fit([{k: jnp.asarray(v) for k, v in sample.items()
               if k in ("image", "category_ids")}], epochs=2)
+
+
+def test_save_load_model_roundtrip(tmp_path):
+    """Whole-model persistence: save -> load -> identical predictions."""
+    ds, df = _make_data()
+    model = api.DETR(vocab_dict=ds.get_vocab(), **TINY_KW, **TINY_OVER)
+    pipe = model.make_pipeline(dataset=ds)
+    sample = next(pipe.batches(df, batch_size=4, seed=0))
+    model.compile(sample_batch=sample,
+                  train_config=TrainConfig(optimizer="adamw",
+                                           lr_schedule="constant",
+                                           clipnorm=0.0))
+    model.fit(lambda: pipe.batches(df, batch_size=4, seed=0), epochs=1)
+    preds_before = model({"image": sample["image"]}, training=True)
+
+    model.save(str(tmp_path / "saved"))
+    loaded = api.load_model(str(tmp_path / "saved"), batch_size=4)
+    preds_after = loaded({"image": sample["image"]}, training=True)
+    for k in preds_before:
+        assert np.allclose(np.asarray(preds_before[k]),
+                           np.asarray(preds_after[k]), atol=1e-5), k
