@@ -164,6 +164,77 @@ class DETRPanoptic(nn.Module):
         return preds
 
 
+def make_panoptic_train_step(model: "DETRPanoptic", train_cfg,
+                             dice_weight: float = 1.0,
+                             focal_weight: float = 1.0):
+    """Jittable train step for DETRPanoptic: the standard matched detection
+    loss plus the matched mask loss, sharing one bipartite assignment —
+    everything (matcher included) in one XLA program. The batch must carry
+    'masks' [B, O, H, W] target masks."""
+    import optax
+
+    from boosted_detr_tpu.ops import matching
+    from boosted_detr_tpu.train import steps as steps_lib
+
+    cfg = model.config
+    weights = train_cfg.loss_weights
+
+    def loss_fn(params, batch_stats, batch, dropout_rng):
+        preds, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], train=True, mutable=["batch_stats"],
+            rngs={"dropout": dropout_rng})
+        category, attribute = steps_lib.targets_from_batch(
+            batch, cfg.num_categories, cfg.num_attributes)
+        losses, metrics, assignment = matching.matching_loss(
+            category, attribute, batch["bbox"].astype(jnp.float32),
+            batch["num_objects"], preds["category"], preds["attribute"],
+            preds["boxes"], weights=weights, matcher=cfg.matcher,
+            return_assignment=True)
+        m_loss = mask_loss(preds["masks"], batch["masks"], assignment,
+                           batch["num_objects"], dice_weight, focal_weight)
+        total = jnp.sum(losses["total"]) + jnp.sum(m_loss)
+        aux = {f"loss_{k}": jnp.sum(v) for k, v in losses.items()}
+        aux["loss_mask"] = jnp.sum(m_loss)
+        aux["iou"] = jnp.mean(metrics["iou"])
+        aux["loss"] = total
+        return total, (aux, mutated.get("batch_stats", {}))
+
+    def train_step(state, batch, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   dropout_rng)
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=new_params,
+                             batch_stats=new_stats,
+                             opt_state=new_opt), aux
+
+    return train_step
+
+
+def masks_from_boxes(bbox: "jnp.ndarray", num_objects: "jnp.ndarray",
+                     mask_size: int):
+    """Rectangular target masks rasterized from COCO boxes [B, O, 4] ->
+    [B, O, S, S] (exact for box-shaped objects, e.g. SyntheticShapes)."""
+    s = mask_size
+    ys = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s  # pixel centers
+    xs = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    x0 = bbox[..., 0][..., None, None]
+    y0 = bbox[..., 1][..., None, None]
+    x1 = x0 + bbox[..., 2][..., None, None]
+    y1 = y0 + bbox[..., 3][..., None, None]
+    inside = ((ys[None, None, :, None] >= y0) & (ys[None, None, :, None] < y1)
+              & (xs[None, None, None, :] >= x0)
+              & (xs[None, None, None, :] < x1))
+    o = bbox.shape[1]
+    valid = (jnp.arange(o)[None, :, None, None]
+             < num_objects[:, None, None, None])
+    return (inside & valid).astype(jnp.float32)
+
+
 def dice_loss(mask_logits: jnp.ndarray, targets: jnp.ndarray,
               eps: float = 1.0) -> jnp.ndarray:
     """Soft DICE loss over trailing spatial dims: [..., H, W] -> [...]."""

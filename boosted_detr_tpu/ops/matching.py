@@ -371,7 +371,8 @@ def matching_loss(
     box_preds: jnp.ndarray,  # [B, P, 4] f32 COCO-format
     weights: LossWeights = LossWeights(),
     matcher: str = "hungarian",
-) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    return_assignment: bool = False,
+):
     """Bipartite-matched DETR set loss, reproducing the reference exactly.
 
     Returns (losses, metrics): per-batch-element [B] vectors
@@ -435,4 +436,6 @@ def matching_loss(
     iou = loss_ops.iou_metric_pairwise(bbox, box_preds)
     masked_iou = jnp.sum(assignment_mask * iou, axis=(-2, -1)) / total_num_objects
     metrics = {"iou": masked_iou}
+    if return_assignment:
+        return losses, metrics, assignment_mask
     return losses, metrics

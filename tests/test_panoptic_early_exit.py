@@ -130,3 +130,50 @@ def test_adaptive_matches_full_forward(rng):
     assert int(exit_block[0]) == TINY.num_decoder_blocks - 1
     assert np.allclose(np.asarray(preds["boxes"]),
                        np.asarray(plain["boxes"]), atol=1e-5)
+
+
+def test_masks_from_boxes():
+    bbox = jnp.asarray([[[0.25, 0.5, 0.5, 0.25]]], jnp.float32)
+    masks = panoptic.masks_from_boxes(bbox, jnp.asarray([1]), mask_size=8)
+    assert masks.shape == (1, 1, 8, 8)
+    m = np.asarray(masks[0, 0])
+    # y in [0.5, 0.75) -> row 4-5; x in [0.25, 0.75) -> cols 2-5
+    assert m[4, 2] == 1.0 and m[5, 5] == 1.0
+    assert m[3, 3] == 0.0 and m[4, 6] == 0.0
+    assert m.sum() == 2 * 4
+
+
+def test_panoptic_train_step_learns(rng):
+    from boosted_detr_tpu.config import TrainConfig
+    from boosted_detr_tpu.train import steps
+
+    model = panoptic.DETRPanoptic(TINY, mask_size=32)
+    b, o = 2, 3
+    bbox = rng.uniform(0.1, 0.4, (b, o, 4)).astype(np.float32)
+    n = np.array([o, o - 1], np.int32)
+    batch = {
+        "image": jnp.asarray(rng.uniform(0, 1, (b, 64, 64, 3)).astype(
+            np.float32)),
+        "category_ids": jnp.asarray(rng.integers(2, 5, (b, o)), jnp.int32),
+        "attribute_ids": jnp.asarray(rng.integers(0, 4, (b, o, 2)),
+                                     jnp.int32),
+        "bbox": jnp.asarray(bbox),
+        "num_objects": jnp.asarray(n),
+        "masks": panoptic.masks_from_boxes(jnp.asarray(bbox),
+                                           jnp.asarray(n), 32),
+    }
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch["image"])
+    tcfg = TrainConfig(optimizer="adamw", learning_rate=3e-3,
+                       lr_schedule="constant", clipnorm=0.0)
+    tx = steps.make_optimizer(tcfg, d_model=TINY.decoder_dim)
+    state = steps.TrainState.create(variables["params"],
+                                    variables["batch_stats"], tx)
+    step = jax.jit(panoptic.make_panoptic_train_step(model, tcfg))
+    first = None
+    for _ in range(25):
+        state, aux = step(state, batch, jax.random.PRNGKey(1))
+        if first is None:
+            first = float(aux["loss"])
+    assert np.isfinite(float(aux["loss"]))
+    assert float(aux["loss"]) < 0.9 * first
+    assert np.isfinite(float(aux["loss_mask"]))
