@@ -21,6 +21,13 @@ Semantics preserved exactly (so training behavior matches):
   later blocks use plain Q=K=V self-attention without positional add
   (reference transformers.py:378-379, a NaN-motivated reference decision).
 
+Documented reference BUG, deliberately NOT reproduced: the reference merges
+attention heads with a raw Reshape of [B, H, T, D] to [B, T, H*D] without
+transposing first (transformers.py:56-57, :100), scrambling different
+tokens' head outputs together before the output projection. This
+implementation uses the standard transpose-then-merge; the divergence is
+pinned by tests/test_reference_parity.py::test_mha_vs_reference_with_same_weights.
+
 TPU-first design notes: attention logits/softmax are computed in f32 with
 ``preferred_element_type`` so the MXU accumulates correctly under bf16
 compute; everything else runs in the configured compute dtype; shapes are
