@@ -39,7 +39,8 @@ def main():
 
     batch_size = 8
     cfg = ModelConfig(image_size=(640, 640), backbone="resnet",
-                      compute_dtype="bfloat16", max_objects=32)
+                      compute_dtype="bfloat16", max_objects=32,
+                      matcher="pallas")  # fastest exact solver on TPU
     tcfg = TrainConfig(batch_size=batch_size)
     model = DETR(cfg)
 

@@ -12,8 +12,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from functools import partial
 
 import numpy as np
@@ -135,12 +138,19 @@ def bench_matcher():
             c, sums = jax.lax.scan(body, c0, jnp.arange(k, dtype=jnp.float32))
             return sums.sum()
 
-        float(chunk(cost))
-        t0 = time.perf_counter()
-        float(chunk(cost + 1e-5))
+        float(chunk(cost))  # compile
+        # min over repetitions: the first timed region in a process absorbs
+        # a one-time ~20ms runtime warmup (see RESULTS.md)
+        times = []
+        x = cost
+        for _ in range(4):
+            x = x + 1e-6
+            t0 = time.perf_counter()
+            float(chunk(x))
+            times.append(time.perf_counter() - t0)
         print(json.dumps({
             "benchmark": f"matcher_{name}",
-            "ms_per_solve": round((time.perf_counter() - t0) / k * 1e3, 3),
+            "ms_per_solve": round(min(times) / k * 1e3, 3),
             "shape": [b, o, p]}), flush=True)
 
     from boosted_detr_tpu.native import lap_binding
