@@ -125,20 +125,17 @@ class _ModelBase:
         """Save config + vocabulary + weights to a directory (the Keras
         save_model equivalent; reference persists weights-only checkpoints
         plus code-side config)."""
+        import dataclasses
         import json
         import os
 
         assert self.trainer is not None, "call compile() first"
         os.makedirs(path, exist_ok=True)
-        meta = {"class": type(self).__name__, "config": self.get_config(),
-                "model_overrides": {
-                    "backbone": self.config.backbone,
-                    "backbone_width": self.config.backbone_width,
-                    "compute_dtype": self.config.compute_dtype,
-                    "max_objects": self.config.max_objects,
-                    "matcher": self.config.matcher,
-                    "norm": self.config.norm,
-                }}
+        full = dataclasses.asdict(self.config)
+        meta = {"class": type(self).__name__,
+                "vocab_dict": self._vocab_dict,
+                "full_config": full,
+                "loss_weights": dataclasses.asdict(self.loss_weights)}
         with open(os.path.join(path, "model_config.json"), "w") as f:
             json.dump(meta, f, indent=2)
         self.trainer.save_weights(os.path.join(path, "weights"))
@@ -241,16 +238,21 @@ class DETR_MultiClassifier:
 
 def load_model(path: str, **compile_kwargs):
     """Rebuild a saved model (see ``_ModelBase.save``): reconstructs the
-    class from its config + vocabulary, compiles, and restores weights."""
+    class from its FULL config + vocabulary + loss weights, compiles, and
+    restores weights."""
     import json
     import os
 
     with open(os.path.join(path, "model_config.json")) as f:
         meta = json.load(f)
     cls = {"DETR": DETR, "BoostedDETR": BoostedDETR}[meta["class"]]
-    cfg = dict(meta["config"])
-    cfg["image_size"] = tuple(cfg["image_size"])
-    model = cls(**cfg, **meta.get("model_overrides", {}))
+    full = dict(meta["full_config"])
+    full["image_size"] = tuple(full["image_size"])
+    # vocab-derived sizes are reconstructed by the constructor from the codec
+    full.pop("num_categories", None)
+    full.pop("num_attributes", None)
+    model = cls(vocab_dict=meta["vocab_dict"], **full)
+    model.loss_weights = LossWeights(**meta["loss_weights"])
     model.compile(**compile_kwargs)
     model.trainer.load_weights(os.path.join(path, "weights"))
     return model

@@ -171,13 +171,11 @@ def make_panoptic_train_step(model: "DETRPanoptic", train_cfg,
     loss plus the matched mask loss, sharing one bipartite assignment —
     everything (matcher included) in one XLA program. The batch must carry
     'masks' [B, O, H, W] target masks."""
-    import optax
-
     from boosted_detr_tpu.ops import matching
     from boosted_detr_tpu.train import steps as steps_lib
 
     cfg = model.config
-    weights = train_cfg.loss_weights
+    weights = steps_lib.resolve_loss_weights(cfg, train_cfg)
 
     def loss_fn(params, batch_stats, batch, dropout_rng):
         preds, mutated = model.apply(
@@ -197,22 +195,9 @@ def make_panoptic_train_step(model: "DETRPanoptic", train_cfg,
         aux = {f"loss_{k}": jnp.sum(v) for k, v in losses.items()}
         aux["loss_mask"] = jnp.sum(m_loss)
         aux["iou"] = jnp.mean(metrics["iou"])
-        aux["loss"] = total
         return total, (aux, mutated.get("batch_stats", {}))
 
-    def train_step(state, batch, rng):
-        dropout_rng = jax.random.fold_in(rng, state.step)
-        (loss, (aux, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
-                                   dropout_rng)
-        updates, new_opt = state.tx.update(grads, state.opt_state,
-                                           state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return state.replace(step=state.step + 1, params=new_params,
-                             batch_stats=new_stats,
-                             opt_state=new_opt), aux
-
-    return train_step
+    return steps_lib.make_update_step(loss_fn)
 
 
 def masks_from_boxes(bbox: "jnp.ndarray", num_objects: "jnp.ndarray",

@@ -34,7 +34,7 @@ equivalent training signal (SURVEY §7 hard-part 1).
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -375,7 +375,9 @@ def matching_loss(
 ):
     """Bipartite-matched DETR set loss, reproducing the reference exactly.
 
-    Returns (losses, metrics): per-batch-element [B] vectors
+    Returns (losses, metrics) — or (losses, metrics, assignment_mask
+    [B, O, P]) when ``return_assignment`` (consumed by mask-type losses,
+    e.g. models.panoptic.mask_loss): per-batch-element [B] vectors
     ``total/category/attribute/box/exist`` and ``iou``; the trainer sums
     ``total`` over the batch (Keras ``add_loss`` parity, reference
     model.py:208). Normalization is **batch-global**: masked sums are divided

@@ -128,14 +128,42 @@ def compute_losses(preds_list, batch, cfg: ModelConfig,
     return scalar, aux
 
 
+def make_update_step(loss_fn) -> Callable:
+    """Wrap a ``loss_fn(params, batch_stats, batch, rng) -> (loss, (aux,
+    new_stats))`` into the standard gradient/optimizer update step (shared by
+    the detection and panoptic step factories)."""
+
+    def train_step(state: TrainState, batch, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   dropout_rng)
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt)
+        aux["loss"] = loss
+        return new_state, aux
+
+    return train_step
+
+
+def resolve_loss_weights(model_cfg: ModelConfig,
+                         train_cfg: TrainConfig) -> LossWeights:
+    """classification_only zeroes the box weight (reference model.py:44-45)."""
+    weights = train_cfg.loss_weights
+    if model_cfg.classification_only:
+        weights = dataclasses.replace(weights, box=0.0)
+    return weights
+
+
 def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig
                     ) -> Callable:
     """Build the jittable train step for a DETR-family model whose
     ``__call__(image, train, return_intermediate)`` returns prediction
     dict(s)."""
-    weights = train_cfg.loss_weights
-    if model_cfg.classification_only:
-        weights = dataclasses.replace(weights, box=0.0)
+    weights = resolve_loss_weights(model_cfg, train_cfg)
     intermediate = train_cfg.use_intermediate_losses
 
     loss_block = train_cfg.train_block if intermediate else None
@@ -155,29 +183,14 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig
         loss, aux = compute_losses(preds_list, batch, model_cfg, weights)
         return loss, (aux, mutated.get("batch_stats", {}))
 
-    def train_step(state: TrainState, batch, rng):
-        dropout_rng = jax.random.fold_in(rng, state.step)
-        (loss, (aux, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
-                                   dropout_rng)
-        updates, new_opt = state.tx.update(grads, state.opt_state,
-                                           state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(step=state.step + 1, params=new_params,
-                                  batch_stats=new_stats, opt_state=new_opt)
-        aux["loss"] = loss
-        return new_state, aux
-
-    return train_step
+    return make_update_step(loss_fn)
 
 
 def make_eval_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig
                    ) -> Callable:
     """Validation = the training loss path without updates (reference
     test_step aliases train_step, model.py:235-236)."""
-    weights = train_cfg.loss_weights
-    if model_cfg.classification_only:
-        weights = dataclasses.replace(weights, box=0.0)
+    weights = resolve_loss_weights(model_cfg, train_cfg)
 
     def eval_step(state: TrainState, batch):
         outs = model.apply(

@@ -23,7 +23,7 @@ REF = "/root/reference/ModelComponents"
 
 def _install_tfa_stub():
     if "tensorflow_addons" in sys.modules:
-        return
+        return  # a real installation exists; leave it alone
     tfa = types.ModuleType("tensorflow_addons")
     losses_mod = types.ModuleType("tensorflow_addons.losses")
 
@@ -71,13 +71,30 @@ def _install_tfa_stub():
     sys.modules["tensorflow_addons.losses"] = losses_mod
 
 
-def _ref_module(name):
-    _install_tfa_stub()
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    import importlib
+_REF_CACHE = {}
 
-    return importlib.import_module(name)
+
+def _ref_module(name):
+    """Load a reference module by FILE (no sys.path insertion — the reference
+    dir is full of generically-named modules like transformers.py/datasets.py
+    that would shadow real packages process-wide). The tfa stub is installed
+    only around module exec and removed afterwards."""
+    if name in _REF_CACHE:
+        return _REF_CACHE[name]
+    import importlib.util
+    import os
+
+    _install_tfa_stub()
+    try:
+        spec = importlib.util.spec_from_file_location(
+            f"_reference_{name}", os.path.join(REF, f"{name}.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        sys.modules.pop("tensorflow_addons", None)
+        sys.modules.pop("tensorflow_addons.losses", None)
+    _REF_CACHE[name] = mod
+    return mod
 
 
 def test_matching_loss_matches_reference_exactly(rng):
