@@ -190,3 +190,39 @@ def test_directory_batches(tmp_path, rng):
     assert len(batches) == 2
     assert batches[0]["image"].shape == (2, 16, 16, 3)
     assert (batches[0]["num_objects"] == 0).all()
+
+
+def test_grain_loader_batches():
+    """Grain-based pipeline yields the same batch contract and covers every
+    record exactly once per epoch."""
+    pytest.importorskip("grain")
+    from boosted_detr_tpu.data.grain_loader import make_grain_loader
+
+    ds = SyntheticShapes(num_images=8, image_size=32, max_objects=2, seed=4)
+    df = ds.dataframes("train")
+    codec = TextCodec(ds.get_vocab())
+    pipe = Pipeline((32, 32), max_objects=3, codec=codec, dataset=ds)
+    batches = list(make_grain_loader(df, pipe, batch_size=4, seed=1))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["image"].shape == (4, 32, 32, 3)
+    assert b["category_ids"].shape == (4, 3)
+    assert b["bbox"].shape == (4, 3, 4)
+    ids = sorted(int(i) for batch in batches for i in batch["image_id"])
+    assert ids == sorted(df["id_num"].tolist())
+
+
+def test_grain_loader_sharded():
+    pytest.importorskip("grain")
+    from boosted_detr_tpu.data.grain_loader import make_grain_loader
+
+    ds = SyntheticShapes(num_images=8, image_size=32, max_objects=2, seed=4)
+    df = ds.dataframes("train")
+    codec = TextCodec(ds.get_vocab())
+    pipe = Pipeline((32, 32), max_objects=3, codec=codec, dataset=ds)
+    seen = []
+    for rank in range(2):
+        for b in make_grain_loader(df, pipe, batch_size=2, shuffle=False,
+                                   process_index=rank, process_count=2):
+            seen.extend(int(i) for i in b["image_id"])
+    assert sorted(seen) == sorted(df["id_num"].tolist())
