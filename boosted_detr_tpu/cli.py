@@ -1,0 +1,199 @@
+"""Command-line driver: ``python -m boosted_detr_tpu.cli <cmd> ...``.
+
+The reference's 'CLI' is two Colab notebooks (SURVEY §1 L7); this is the
+script-world equivalent, driving the same workflow from YAML configs
+(``config.from_yaml`` + dotted overrides):
+
+  train     — train DETR/BoostedDETR on a COCO-format dataset dir or the
+              built-in synthetic dataset; checkpoints/logs per config.
+  evaluate  — COCO-protocol mAP of a checkpoint on a dataset.
+  benchmark — the throughput/matcher benchmark suite.
+
+Examples:
+  python -m boosted_detr_tpu.cli train --synthetic --epochs 50 \\
+      --set model.encoder_dim=64 --set train.batch_size=8
+  python -m boosted_detr_tpu.cli train --config cfg.yaml \\
+      --dataset fashionpedia --data-dir /data/fashionpedia
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Dict, List
+
+
+def _parse_sets(pairs: List[str]) -> Dict[str, object]:
+    out: Dict[str, object] = {}
+    for pair in pairs or []:
+        key, _, raw = pair.partition("=")
+        try:
+            import ast
+
+            out[key] = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            out[key] = raw
+    return out
+
+
+def _build_data(args):
+    from boosted_detr_tpu.data import vocabularies
+    from boosted_detr_tpu.data.datasets import (COCOStandard, Fashionpedia,
+                                                SyntheticShapes)
+
+    if args.synthetic:
+        ds = SyntheticShapes(num_images=args.synthetic_images, image_size=64,
+                             max_objects=3, seed=0)
+        return ds, ds.dataframes("train"), ds.get_vocab()
+    cls = {"coco": COCOStandard, "fashionpedia": Fashionpedia}[args.dataset]
+    loader = cls(args.data_dir, args.data_dir + "/local")
+    loader.get_data(download=args.download, unzip=args.download)
+    df = loader.dataframes(args.subset)
+    vocab = vocabularies.vocab_dict(
+        "COCO" if args.dataset == "coco" else "Fashionpedia")
+    return loader, df, vocab
+
+
+def _build_model(args, vocab, dataset=None):
+    from boosted_detr_tpu import api, config as config_lib
+
+    overrides = _parse_sets(args.set)
+    if args.config:
+        mcfg, tcfg = config_lib.from_yaml(args.config, **overrides)
+    else:
+        model_kw = {k.split(".", 1)[1]: v for k, v in overrides.items()
+                    if k.startswith("model.")}
+        train_kw = {k.split(".", 1)[1]: v for k, v in overrides.items()
+                    if k.startswith("train.")}
+        if "image_size" in model_kw:
+            model_kw["image_size"] = tuple(model_kw["image_size"])
+        mcfg = config_lib.ModelConfig(**model_kw)
+        tcfg = config_lib.TrainConfig(**train_kw)
+    if args.synthetic:
+        mcfg = mcfg.replace(image_size=(64, 64), backbone="tiny",
+                            compute_dtype="float32", max_objects=4,
+                            dropout_rate=0.0)
+        tcfg = tcfg.replace(optimizer="adamw", lr_schedule="constant",
+                            clipnorm=0.0)
+    if args.checkpoint_dir:
+        tcfg = tcfg.replace(checkpoint_dir=args.checkpoint_dir)
+
+    cls = api.BoostedDETR if args.model == "boosted" else api.DETR
+    geometry = dict(
+        num_object_preds=mcfg.num_object_preds, image_size=mcfg.image_size,
+        num_encoder_blocks=mcfg.num_encoder_blocks,
+        num_encoder_heads=mcfg.num_encoder_heads,
+        encoder_dim=mcfg.encoder_dim,
+        num_decoder_blocks=mcfg.num_decoder_blocks,
+        num_decoder_heads=mcfg.num_decoder_heads,
+        decoder_dim=mcfg.decoder_dim,
+        num_panoptic_heads=mcfg.num_panoptic_heads,
+        panoptic_dim=mcfg.panoptic_dim)
+    extra = dict(backbone=mcfg.backbone, backbone_width=mcfg.backbone_width,
+                 compute_dtype=mcfg.compute_dtype,
+                 max_objects=mcfg.max_objects, matcher=mcfg.matcher,
+                 norm=mcfg.norm, dropout_rate=mcfg.dropout_rate,
+                 use_pallas_attention=mcfg.use_pallas_attention)
+    if args.model == "synthetic-tiny":
+        geometry.update(num_object_preds=12, num_encoder_blocks=2,
+                        num_encoder_heads=4, encoder_dim=64,
+                        num_decoder_blocks=2, num_decoder_heads=4,
+                        decoder_dim=64)
+        cls = api.DETR
+    model = cls(vocab_dict=vocab, **geometry, **extra)
+    model._cli_train_config = tcfg
+    model._cli_dataset = dataset
+    return model, tcfg
+
+
+def cmd_train(args) -> int:
+    dataset, df, vocab = _build_data(args)
+    model, tcfg = _build_model(args, vocab, dataset)
+    pipe = model.make_pipeline(dataset=dataset if args.synthetic else None)
+    sample = next(pipe.batches(df, batch_size=tcfg.batch_size, seed=0))
+    model.compile(sample_batch=sample, train_config=tcfg)
+    history = model.fit(
+        lambda: pipe.batches(df, batch_size=tcfg.batch_size, seed=0),
+        epochs=args.epochs, log_path=args.log_csv,
+        tensorboard_dir=args.tensorboard)
+    print(f"final loss: {history['loss'][-1]:.4f}")
+    if args.eval_map:
+        from boosted_detr_tpu.train import metrics as metrics_lib
+
+        result = metrics_lib.evaluate_map(
+            model.trainer, pipe.batches(df, batch_size=tcfg.batch_size,
+                                        shuffle=False))
+        print(f"mAP: {result['mAP']:.4f}  mAP50: {result['mAP50']:.4f}")
+    if args.save:
+        model.save(args.save)
+        print(f"saved model to {args.save}")
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from boosted_detr_tpu import api
+    from boosted_detr_tpu.train import metrics as metrics_lib
+
+    dataset, df, _ = _build_data(args)
+    model = api.load_model(args.load)
+    pipe = model.make_pipeline(dataset=dataset if args.synthetic else None)
+    result = metrics_lib.evaluate_map(
+        model.trainer,
+        pipe.batches(df, batch_size=args.batch_size, shuffle=False))
+    print(f"mAP: {result['mAP']:.4f}  mAP50: {result['mAP50']:.4f} "
+          f"mAP75: {result['mAP75']:.4f}")
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    from benchmarks.run_benchmarks import bench_matcher, bench_throughput
+
+    bench_matcher()
+    bench_throughput(args.quick)
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="boosted_detr_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    def add_data_args(p):
+        p.add_argument("--synthetic", action="store_true")
+        p.add_argument("--synthetic-images", type=int, default=32)
+        p.add_argument("--dataset", choices=["coco", "fashionpedia"],
+                       default="fashionpedia")
+        p.add_argument("--data-dir", default="/tmp/data")
+        p.add_argument("--download", action="store_true")
+        p.add_argument("--subset", default="train")
+
+    t = sub.add_parser("train")
+    add_data_args(t)
+    t.add_argument("--model", choices=["detr", "boosted", "synthetic-tiny"],
+                   default="detr")
+    t.add_argument("--config", help="YAML config path")
+    t.add_argument("--set", action="append", metavar="model.key=value",
+                   help="dotted config overrides")
+    t.add_argument("--epochs", type=int, default=1)
+    t.add_argument("--checkpoint-dir")
+    t.add_argument("--log-csv")
+    t.add_argument("--tensorboard")
+    t.add_argument("--eval-map", action="store_true")
+    t.add_argument("--save", help="directory to save the whole model")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("evaluate")
+    add_data_args(e)
+    e.add_argument("--load", required=True, help="saved model directory")
+    e.add_argument("--batch-size", type=int, default=8)
+    e.set_defaults(fn=cmd_evaluate)
+
+    b = sub.add_parser("benchmark")
+    b.add_argument("--quick", action="store_true")
+    b.set_defaults(fn=cmd_benchmark)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
