@@ -14,7 +14,6 @@ from typing import Any, Dict, Iterable, Optional, Sequence, Tuple
 
 import numpy as np
 
-from boosted_detr_tpu import config as config_lib
 from boosted_detr_tpu.config import LossWeights, ModelConfig, TrainConfig
 from boosted_detr_tpu.data.codec import TextCodec
 from boosted_detr_tpu.data.pipeline import Pipeline
