@@ -14,7 +14,7 @@ and compatibility flags for reference quirks.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 PAD_TOKEN = "<PAD>"
 OOV_TOKEN = "<OOV>"

@@ -22,7 +22,7 @@ Reference-fidelity notes:
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ from __future__ import annotations
 import json
 import os
 import zipfile
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 import pandas as pd

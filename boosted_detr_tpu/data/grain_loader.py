@@ -15,7 +15,7 @@ from typing import Dict, Iterator, Optional
 
 import numpy as np
 
-from boosted_detr_tpu.data.pipeline import BOX_PAD_VALUE, Pipeline, load_image
+from boosted_detr_tpu.data.pipeline import Pipeline, load_image
 
 
 class DataFrameSource:

@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
-from typing import Dict, Iterator, Optional, Sequence
+from typing import Dict, Iterator
 
 import numpy as np
 

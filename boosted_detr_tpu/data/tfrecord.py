@@ -10,7 +10,7 @@ tf.train, host-side); nothing TF touches the device path.
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 

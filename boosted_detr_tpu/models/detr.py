@@ -15,7 +15,7 @@ host/device split that removes the reference's TPU-incompatible string ops
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import flax.linen as nn
 import jax.numpy as jnp

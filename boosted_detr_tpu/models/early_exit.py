@@ -16,7 +16,7 @@ block once they are confident enough). Two TPU-appropriate modes:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -36,8 +36,6 @@ static so XLA tiles all matmuls onto the MXU.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

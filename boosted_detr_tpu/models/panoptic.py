@@ -28,8 +28,6 @@ Here both are implemented working and wired into a ``DETRPanoptic`` model:
 
 from __future__ import annotations
 
-from typing import Dict, Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

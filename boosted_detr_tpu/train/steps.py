@@ -11,7 +11,7 @@ round trip. Validation reuses the training path exactly like the reference
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import flax.struct
 import jax

@@ -22,7 +22,7 @@ from __future__ import annotations
 import csv
 import os
 import time
-from typing import Any, Callable, Dict, Iterable, Optional
+from typing import Callable, Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
