@@ -90,9 +90,20 @@ class Trainer:
             variables["params"], variables.get("batch_stats", {}), tx)
         # donate the state: its buffers are reused in place instead of
         # copied every step (29M params in the flagship config)
-        self._train_step = jax.jit(steps_lib.make_train_step(
-            self.model, self.model_cfg, self.train_cfg),
-            donate_argnums=(0,))
+        train_step = steps_lib.make_train_step(
+            self.model, self.model_cfg, self.train_cfg)
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+
+        def train_scan(state, stacked, rng):
+            def body(st, batch):
+                st, aux = train_step(st, batch, rng)
+                return st, aux
+
+            return jax.lax.scan(body, state, stacked)
+
+        # grouped-step variant: one dispatch executes scan_steps steps over a
+        # stacked superbatch (amortizes per-dispatch overhead)
+        self._train_scan = jax.jit(train_scan, donate_argnums=(0,))
         self._eval_step = jax.jit(steps_lib.make_eval_step(
             self.model, self.model_cfg, self.train_cfg))
         self._predict_step = jax.jit(steps_lib.make_predict_step(self.model))
@@ -178,10 +189,15 @@ class Trainer:
             tensorboard_dir: Optional[str] = None,
             log_every: int = 10,
             checkpoint_every_epochs: int = 1,
-            batch_fn: Optional[Callable] = None) -> Dict[str, list]:
+            batch_fn: Optional[Callable] = None,
+            scan_steps: int = 1) -> Dict[str, list]:
         """``batches``: an iterable (or callable returning one per epoch) of
         numpy batch dicts. Raises NaNLossError on non-finite loss (reference
-        TerminateOnNaN parity)."""
+        TerminateOnNaN parity).
+
+        ``scan_steps > 1`` groups that many consecutive batches into ONE
+        compiled dispatch (a lax.scan over a stacked superbatch) — N times
+        fewer host->device round trips per epoch."""
         assert self.state is not None, "call compile() first"
         history = {"loss": [], "val_loss": []}
         writer = _CsvLogger(log_path) if log_path else None
@@ -192,26 +208,60 @@ class Trainer:
             t0 = time.time()
             n_steps = 0
             running = 0.0
+            pending = []
+            stop_epoch = False
+
+            def run_pending():
+                nonlocal running, n_steps
+                if not pending:
+                    return
+                if len(pending) == 1:
+                    self.state, aux = self._train_step(
+                        self.state, pending[0], self._rng)
+                    losses = [float(aux["loss"])]
+                else:
+                    stacked = {k: np.stack([b[k] for b in pending])
+                               for k in pending[0]}
+                    stacked = self._place(stacked)
+                    self.state, aux = self._train_scan(
+                        self.state, stacked, self._rng)
+                    losses = [float(x) for x in np.asarray(aux["loss"])]
+                    aux = {k: v[-1] for k, v in aux.items()}
+                for loss in losses:
+                    if not np.isfinite(loss):
+                        raise NaNLossError(
+                            f"non-finite loss at step {int(self.state.step)}")
+                    running += loss
+                    n_steps += 1
+                scalars = {k: float(np.asarray(v).reshape(-1)[-1])
+                           for k, v in aux.items()}
+                if writer and n_steps % log_every < len(losses):
+                    writer.write(int(self.state.step), scalars)
+                if tb and n_steps % log_every < len(losses):
+                    tb.write(int(self.state.step), scalars)
+                pending.clear()
+
             for batch in it:
                 if batch_fn is not None:
                     batch = batch_fn(batch)
-                batch = self._place(batch)
-                self.state, aux = self._train_step(self.state, batch,
-                                                   self._rng)
-                loss = float(aux["loss"])
-                if not np.isfinite(loss):
-                    raise NaNLossError(
-                        f"non-finite loss at step {int(self.state.step)}")
-                running += loss
-                n_steps += 1
-                if n_steps % log_every == 0:
-                    scalars = {k: float(v) for k, v in aux.items()}
-                    if writer:
-                        writer.write(int(self.state.step), scalars)
-                    if tb:
-                        tb.write(int(self.state.step), scalars)
+                if scan_steps <= 1:
+                    pending.append(self._place(batch))
+                    run_pending()
+                else:
+                    pending.append({k: np.asarray(v) for k, v in
+                                    batch.items()
+                                    if k in ("image", "category_ids",
+                                             "attribute_ids", "bbox",
+                                             "num_objects")})
+                    if len(pending) >= scan_steps:
+                        run_pending()
                 if steps_per_epoch and n_steps >= steps_per_epoch:
+                    stop_epoch = True
                     break
+            if not stop_epoch:
+                run_pending()
+            else:
+                pending.clear()
             if n_steps == 0:
                 raise ValueError(
                     "the batch iterable was empty this epoch — pass a "

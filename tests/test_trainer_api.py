@@ -145,3 +145,24 @@ def test_save_load_model_roundtrip(tmp_path):
     for k in preds_before:
         assert np.allclose(np.asarray(preds_before[k]),
                            np.asarray(preds_after[k]), atol=1e-5), k
+
+
+def test_fit_scan_steps_equivalent():
+    """scan_steps groups dispatches without changing results materially."""
+    ds, df = _make_data()
+    def build():
+        m = api.DETR(vocab_dict=ds.get_vocab(), **TINY_KW, **TINY_OVER)
+        p = m.make_pipeline(dataset=ds)
+        s = next(p.batches(df, batch_size=4, seed=0))
+        m.compile(sample_batch=s, train_config=TrainConfig(
+            optimizer="adamw", lr_schedule="constant", clipnorm=0.0,
+            learning_rate=1e-3))
+        return m, p
+
+    m1, p1 = build()
+    h1 = m1.fit(lambda: p1.batches(df, batch_size=4, seed=0), epochs=2)
+    m2, p2 = build()
+    h2 = m2.fit(lambda: p2.batches(df, batch_size=4, seed=0), epochs=2,
+                scan_steps=2)
+    assert np.isclose(h1["loss"][-1], h2["loss"][-1], rtol=1e-3)
+    assert int(m1.trainer.state.step) == int(m2.trainer.state.step)
