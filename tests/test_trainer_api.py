@@ -166,3 +166,33 @@ def test_fit_scan_steps_equivalent():
                 scan_steps=2)
     assert np.isclose(h1["loss"][-1], h2["loss"][-1], rtol=1e-3)
     assert int(m1.trainer.state.step) == int(m2.trainer.state.step)
+
+
+def test_export_inference_fn_and_transfer(tmp_path):
+    """Serving export produces the text signature; API-level pretrainer
+    transfer moves the trunk into the live detector state."""
+    ds, df = _make_data()
+    vocab = ds.get_vocab()
+    model = api.DETR(vocab_dict=vocab, **TINY_KW, **TINY_OVER)
+    pipe = model.make_pipeline(dataset=ds)
+    sample = next(pipe.batches(df, batch_size=4, seed=0))
+    model.compile(sample_batch=sample,
+                  train_config=TrainConfig(optimizer="adamw",
+                                           lr_schedule="constant",
+                                           clipnorm=0.0))
+    serve = model.trainer.export_inference_fn()
+    cats, atts, boxes = serve(sample["image"])
+    assert cats.shape == (4, TINY_KW["num_object_preds"])
+    assert boxes.shape[-1] == 4
+
+    pre = api.DETR_MultiClassifier(model, vocab_dict=vocab, hidden_dim=16)
+    pre.compile(sample_batch=sample, batch_size=4)
+    pre.fit([{k: jnp.asarray(v) for k, v in sample.items()
+              if k in ("image", "category_ids")}], epochs=3)
+    before = jax.tree_util.tree_leaves(model.trainer.state.params["encoder"])
+    pre.transfer_to_base()
+    after = jax.tree_util.tree_leaves(model.trainer.state.params["encoder"])
+    assert any(not np.allclose(a, b) for a, b in zip(before, after))
+    # detector still works after the transfer
+    cats, atts, boxes = model({"image": sample["image"]})
+    assert cats.shape == (4, TINY_KW["num_object_preds"])
