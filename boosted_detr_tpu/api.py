@@ -140,12 +140,13 @@ class _ModelBase:
         self.trainer.save_weights(os.path.join(path, "weights"))
 
     # -- inference: text in/out (reference model.py:226-233) --
-    def __call__(self, inputs, training: bool = False):
+    def __call__(self, inputs, training: bool = False,
+                 early_exit_threshold: Optional[float] = None):
         assert self.trainer is not None, "call compile() first"
         image = inputs["image"] if isinstance(inputs, dict) else inputs
-        if training:
-            return self.trainer.predict(image, decode_text=False)
-        return self.trainer.predict(image, decode_text=True)
+        return self.trainer.predict(
+            image, decode_text=not training,
+            early_exit_threshold=early_exit_threshold)
 
 
 class DETR(_ModelBase):
@@ -159,6 +160,15 @@ class BoostedDETR(_ModelBase):
 
     from boosted_detr_tpu.models.boosted import BoostedDETR as _module_cls  # noqa
     _is_boosted = True
+
+
+class DETRPanoptic(_ModelBase):
+    """DETR with the panoptic mask head wired in (the reference's dark
+    panoptic components, working; see models/panoptic.py). Training requires
+    'masks' targets in the batch — see models.panoptic.make_panoptic_train_step
+    and masks_from_boxes."""
+
+    from boosted_detr_tpu.models.panoptic import DETRPanoptic as _module_cls  # noqa
 
 
 class DETR_MultiClassifier:

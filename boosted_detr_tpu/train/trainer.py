@@ -53,6 +53,7 @@ class Trainer:
         self._train_step = None
         self._eval_step = None
         self._predict_step = None
+        self._predict_adaptive = None
         self._ckpt_mgr = None
         self._rng = jax.random.PRNGKey(train_cfg.seed)
 
@@ -323,12 +324,38 @@ class Trainer:
 
         return serve
 
-    def predict(self, images: np.ndarray, decode_text: bool = True):
+    def predict(self, images: np.ndarray, decode_text: bool = True,
+                early_exit_threshold: Optional[float] = None):
         """Images -> (category_strings, attribute_strings, boxes) via the
         host codec (reference inference signature, model.py:226-233), or the
-        raw probability dict when ``decode_text=False``."""
-        preds = self._predict_step(self.state, jnp.asarray(images))
-        preds = {k: np.asarray(v) for k, v in preds.items()}
+        raw probability dict when ``decode_text=False``.
+
+        ``early_exit_threshold`` enables adaptive-depth inference (the
+        reference README.md:63-88 design): each image takes the earliest
+        decoder block whose confidence clears the threshold."""
+        threshold = (early_exit_threshold
+                     if early_exit_threshold is not None
+                     else self.model_cfg.early_exit_threshold)
+        if threshold is not None:
+            if self._predict_adaptive is None:
+                from boosted_detr_tpu.models import early_exit
+
+                def adaptive(state, image, thr):
+                    outs = self.model.apply(
+                        {"params": state.params,
+                         "batch_stats": state.batch_stats},
+                        image, train=False, return_intermediate=True)
+                    preds, exit_block = early_exit.adaptive_select(outs, thr)
+                    return preds, exit_block
+
+                self._predict_adaptive = jax.jit(adaptive)
+            preds, exit_block = self._predict_adaptive(
+                self.state, jnp.asarray(images), jnp.float32(threshold))
+            preds = {k: np.asarray(v) for k, v in preds.items()}
+            preds["exit_block"] = np.asarray(exit_block)
+        else:
+            preds = self._predict_step(self.state, jnp.asarray(images))
+            preds = {k: np.asarray(v) for k, v in preds.items()}
         if decode_text and self.codec is not None:
             return self.codec.decode_predictions(preds)
         return preds

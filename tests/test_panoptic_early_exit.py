@@ -177,3 +177,45 @@ def test_panoptic_train_step_learns(rng):
     assert np.isfinite(float(aux["loss"]))
     assert float(aux["loss"]) < 0.9 * first
     assert np.isfinite(float(aux["loss_mask"]))
+
+
+def test_api_early_exit_and_panoptic():
+    """Public-API hookups: predict with early_exit_threshold; api.DETRPanoptic
+    forward through the trainer."""
+    from boosted_detr_tpu import api
+    from boosted_detr_tpu.config import TrainConfig
+    from boosted_detr_tpu.data.datasets import SyntheticShapes
+
+    ds = SyntheticShapes(num_images=8, image_size=64, max_objects=2, seed=2)
+    df = ds.dataframes("train")
+    kw = dict(num_object_preds=6, image_size=(64, 64), num_encoder_blocks=1,
+              num_encoder_heads=2, encoder_dim=16, num_decoder_blocks=3,
+              num_decoder_heads=2, decoder_dim=16, backbone="tiny",
+              backbone_width=0.25, compute_dtype="float32", max_objects=3,
+              dropout_rate=0.0)
+    model = api.DETR(vocab_dict=ds.get_vocab(), **kw)
+    pipe = model.make_pipeline(dataset=ds)
+    sample = next(pipe.batches(df, batch_size=4, seed=0))
+    model.compile(sample_batch=sample,
+                  train_config=TrainConfig(optimizer="adamw",
+                                           lr_schedule="constant",
+                                           clipnorm=0.0))
+    preds = model({"image": sample["image"]}, training=True,
+                  early_exit_threshold=1.1)  # never confident -> last block
+    assert (preds["exit_block"] == kw["num_decoder_blocks"] - 1).all()
+    preds0 = model({"image": sample["image"]}, training=True,
+                   early_exit_threshold=0.0)  # always confident -> block 0
+    assert (preds0["exit_block"] == 0).all()
+    # text decode with early exit works too
+    cats, atts, boxes = model({"image": sample["image"]},
+                              early_exit_threshold=0.5)
+    assert cats.shape == (4, 6)
+
+    pano = api.DETRPanoptic(vocab_dict=ds.get_vocab(), **kw,
+                            num_panoptic_heads=2, panoptic_dim=16)
+    pano.compile(sample_batch=sample,
+                 train_config=TrainConfig(optimizer="adamw",
+                                          lr_schedule="constant",
+                                          clipnorm=0.0))
+    out = pano({"image": sample["image"]}, training=True)
+    assert "masks" in out and out["masks"].shape[:2] == (4, 6)
