@@ -75,6 +75,26 @@ def test_dryrun_multichip_entrypoint():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
+def test_dryrun_multichip_driver_invocation():
+    """Exactly the driver's call: fresh process, NO env setup, direct import
+    + dryrun_multichip(8). Regression for round-1 MULTICHIP failure (the
+    function must self-configure its 8 virtual CPU devices)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES")}
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "mesh={'data': 4, 'model': 2}" in proc.stdout, proc.stdout
+
+
 def test_entry_compiles_eval_shape():
     """entry() must be jit-traceable (compile check without running)."""
     import sys
