@@ -107,9 +107,11 @@ class _ModelBase:
         return self.trainer
 
     def make_pipeline(self, max_attribute_words: int = 8,
-                      dataset=None) -> Pipeline:
+                      dataset=None, mask_size: Optional[int] = None
+                      ) -> Pipeline:
         return Pipeline(self.config.image_size, self.config.max_objects,
-                        self.codec, max_attribute_words, dataset=dataset)
+                        self.codec, max_attribute_words, dataset=dataset,
+                        mask_size=mask_size)
 
     def fit(self, batches: Iterable, **kw):
         assert self.trainer is not None, "call compile() first"
@@ -164,11 +166,20 @@ class BoostedDETR(_ModelBase):
 
 class DETRPanoptic(_ModelBase):
     """DETR with the panoptic mask head wired in (the reference's dark
-    panoptic components, working; see models/panoptic.py). Training requires
-    'masks' targets in the batch — see models.panoptic.make_panoptic_train_step
-    and masks_from_boxes."""
+    panoptic components, working; see models/panoptic.py). ``compile`` builds
+    the panoptic train step (detection + matched mask loss); batches must
+    carry 'masks' [B, O, S, S] targets — ``make_pipeline`` produces them from
+    COCO segmentation annotations automatically."""
 
     from boosted_detr_tpu.models.panoptic import DETRPanoptic as _module_cls  # noqa
+
+    def make_pipeline(self, max_attribute_words: int = 8,
+                      dataset=None, mask_size: Optional[int] = None
+                      ) -> Pipeline:
+        # default mask targets to the module's mask resolution
+        return super().make_pipeline(
+            max_attribute_words, dataset=dataset,
+            mask_size=mask_size or self.module.mask_size)
 
 
 class DETR_MultiClassifier:
@@ -254,7 +265,12 @@ def load_model(path: str, **compile_kwargs):
 
     with open(os.path.join(path, "model_config.json")) as f:
         meta = json.load(f)
-    cls = {"DETR": DETR, "BoostedDETR": BoostedDETR}[meta["class"]]
+    classes = {"DETR": DETR, "BoostedDETR": BoostedDETR,
+               "DETRPanoptic": DETRPanoptic}
+    if meta["class"] not in classes:
+        raise ValueError(f"unsupported saved model class '{meta['class']}'"
+                         f" (known: {sorted(classes)})")
+    cls = classes[meta["class"]]
     full = dict(meta["full_config"])
     full["image_size"] = tuple(full["image_size"])
     # vocab-derived sizes are reconstructed by the constructor from the codec

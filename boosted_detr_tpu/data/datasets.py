@@ -85,10 +85,22 @@ class DatasetLoader:
 
 
 def coco_json_to_dataframe(json_path: str, image_dir: str,
-                           cache_path: Optional[str] = None) -> pd.DataFrame:
+                           cache_path: Optional[str] = None,
+                           include_segmentation: bool = True,
+                           include_keypoints: bool = True) -> pd.DataFrame:
     """COCO-format instance JSON -> per-image dataframe (reference
     datasets.py:307-516): string labels, normalized boxes, <PAD>-filled
-    attributes, cached to JSON."""
+    attributes, cached to JSON.
+
+    Optional COCO columns (the reference merges them at datasets.py:446-470):
+    - ``segmentation``: per-object, either normalized polygons (flat
+      [x1, y1, ...] rings scaled to [0, 1]) or a raw RLE dict — consumed by
+      ``data.masks`` / ``Pipeline(mask_size=...)`` for panoptic targets;
+    - ``iscrowd``: per-object 0/1 (RLE crowd regions; the COCO eval protocol
+      ignores detections matched to crowds);
+    - ``keypoints``: per-object normalized flat [x, y, v, ...] (empty list
+      when absent) and ``num_keypoints``.
+    """
     if cache_path and os.path.exists(cache_path):
         return pd.read_json(cache_path)
 
@@ -108,6 +120,10 @@ def coco_json_to_dataframe(json_path: str, image_dir: str,
             "image_path": os.path.join(image_dir, img["file_name"]),
             "width": img["width"], "height": img["height"],
             "num_boxes": 0, "bbox": [], "category": [], "attribute": [],
+            **({"segmentation": [], "iscrowd": []}
+               if include_segmentation else {}),
+            **({"keypoints": [], "num_keypoints": []}
+               if include_keypoints else {}),
         })
         x, y, w, h = ann["bbox"]
         iw, ih = img["width"], img["height"]
@@ -117,6 +133,19 @@ def coco_json_to_dataframe(json_path: str, image_dir: str,
         att_ids = ann.get("attribute_ids", [])
         row["attribute"].append(
             [att_names[i] for i in att_ids] if att_ids else [PAD_TOKEN])
+        if include_segmentation:
+            seg = ann.get("segmentation")
+            if isinstance(seg, list):  # polygons -> normalize to [0, 1]
+                seg = [[v / (iw if i % 2 == 0 else ih)
+                        for i, v in enumerate(ring)] for ring in seg]
+            row["segmentation"].append(seg)
+            row["iscrowd"].append(int(ann.get("iscrowd", 0)))
+        if include_keypoints:
+            kps = ann.get("keypoints") or []
+            row["keypoints"].append(
+                [(v / iw if i % 3 == 0 else v / ih if i % 3 == 1 else v)
+                 for i, v in enumerate(kps)])
+            row["num_keypoints"].append(int(ann.get("num_keypoints", 0)))
         row["num_boxes"] += 1
 
     df = pd.DataFrame.from_dict(rows, orient="index").reset_index(drop=True)

@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
-from typing import Dict, Iterator
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 
@@ -70,12 +70,15 @@ class Pipeline:
     """
 
     def __init__(self, image_size, max_objects: int, codec: TextCodec,
-                 max_attribute_words: int = 8, dataset=None):
+                 max_attribute_words: int = 8, dataset=None,
+                 mask_size: Optional[int] = None):
         self.image_size = tuple(image_size)
         self.max_objects = max_objects
         self.max_attribute_words = max_attribute_words
         self.codec = codec
         self.dataset = dataset  # for synthetic:// rendering
+        self.mask_size = mask_size  # set -> batches carry 'masks' [B,O,S,S]
+        self._epoch = 0  # advances per batches() call -> fresh shuffles
 
     def _encode_labels(self, rows) -> Dict[str, np.ndarray]:
         cats = [r.get("category") or [[PAD_TOKEN]] for r in rows]
@@ -87,7 +90,7 @@ class Pipeline:
             boxes = r.get("bbox") or []
             for j, box in enumerate(boxes[:o]):
                 bbox[i, j] = box
-        return {
+        out = {
             "category_ids": self.codec.encode_categories(cats, o),
             "attribute_ids": self.codec.encode_attributes(
                 atts, o, self.max_attribute_words),
@@ -96,6 +99,27 @@ class Pipeline:
                 [min(int(r.get("num_boxes") or 0), o) for r in rows],
                 np.int32),
         }
+        if self.mask_size:
+            out["masks"] = self._encode_masks(rows, bbox)
+        return out
+
+    def _encode_masks(self, rows, bbox: np.ndarray) -> np.ndarray:
+        """Panoptic mask targets [B, O, S, S] from the dataframe's COCO
+        ``segmentation`` column (polygon/RLE decode in ``data.masks``);
+        objects without segmentation fall back to filled-box masks."""
+        from boosted_detr_tpu.data import masks as masks_lib
+
+        b, o = len(rows), self.max_objects
+        s = self.mask_size
+        out = np.zeros((b, o, s, s), np.float32)
+        for i, r in enumerate(rows):
+            segs = r.get("segmentation") or []
+            n = min(int(r.get("num_boxes") or 0), o)
+            for j in range(n):
+                seg = segs[j] if j < len(segs) else None
+                out[i, j] = masks_lib.segmentation_to_mask(
+                    seg, s, bbox=bbox[i, j])
+        return out
 
     def _load_images(self, chunk) -> np.ndarray:
         """Batch image loading; JPEG files take the native C++ path
@@ -123,16 +147,24 @@ class Pipeline:
     def batches(self, df, batch_size: int, shuffle: bool = True,
                 seed: int = 0, drop_remainder: bool = True,
                 augment=None, repeat: bool = False,
-                process_index: int = 0, process_count: int = 1
+                process_index: int = 0, process_count: int = 1,
+                epoch: Optional[int] = None
                 ) -> Iterator[Dict[str, np.ndarray]]:
         """Yield padded numpy batches. ``augment`` is an optional host-side
         callable(batch_dict, rng) -> batch_dict.
+
+        When ``shuffle``, each call draws a FRESH order/augmentation stream
+        (seed folded with an advancing per-pipeline epoch counter, matching
+        tf.data's reshuffle_each_iteration); pass ``epoch`` explicitly for a
+        reproducible specific epoch.
 
         Multi-host: pass ``process_index``/``process_count`` (e.g.
         jax.process_index()/jax.process_count()) and each host reads its own
         row stride — the per-process feed sharding the reference's
         tf.distribute setup never exercised (SURVEY §5.8)."""
-        rng = np.random.default_rng(seed)
+        if epoch is None:
+            epoch, self._epoch = self._epoch, self._epoch + 1
+        rng = np.random.default_rng((seed, epoch) if shuffle else seed)
         rows = df.to_dict("records")
         if process_count > 1:
             rows = rows[process_index::process_count]

@@ -147,19 +147,51 @@ class DETRPanoptic(nn.Module):
             cfg.num_object_preds, width=max(32, cfg.panoptic_dim),
             mask_size=self.mask_size, dtype=dtype, name="panoptic_neck")
 
-    def __call__(self, image, *, train: bool = False):
+    def __call__(self, image, *, train: bool = False,
+                 return_intermediate: bool = False):
+        """Same contract as ``DETR.__call__`` (so the generic train/predict
+        steps and early-exit inference work unchanged), with a "masks" entry
+        added to each prediction dict."""
         cfg = self.config
         tokens, pos = self.detr.encode(image, train=train)
         enc_value, dec, enc_key, _ = self.detr.decoder_prep(tokens, pos)
-        for block in self.detr.decoder_blocks:
-            dec = block(enc_value, dec, enc_key, deterministic=not train)
-        preds = self.detr.apply_heads(dec, train=train)
 
         h, w = cfg.image_size
         grid = (-(-h // 32), -(-w // 32))
-        maps = self.panoptic_attention(tokens, pos, dec, grid)
-        preds["masks"] = self.panoptic_neck(maps)  # logits
-        return preds
+        outputs = []
+        n = len(self.detr.decoder_blocks)
+        for i, block in enumerate(self.detr.decoder_blocks):
+            dec = block(enc_value, dec, enc_key, deterministic=not train)
+            if return_intermediate or i == n - 1:
+                preds = self.detr.apply_heads(dec, train=train)
+                maps = self.panoptic_attention(tokens, pos, dec, grid)
+                preds["masks"] = self.panoptic_neck(maps)  # logits
+                outputs.append(preds)
+        return outputs if return_intermediate else outputs[-1]
+
+
+def _panoptic_losses(model: "DETRPanoptic", train_cfg, preds, batch,
+                     dice_weight: float, focal_weight: float):
+    """Detection + mask losses sharing ONE bipartite assignment."""
+    from boosted_detr_tpu.ops import matching
+    from boosted_detr_tpu.train import steps as steps_lib
+
+    cfg = model.config
+    weights = steps_lib.resolve_loss_weights(cfg, train_cfg)
+    category, attribute = steps_lib.targets_from_batch(
+        batch, cfg.num_categories, cfg.num_attributes)
+    losses, metrics, assignment = matching.matching_loss(
+        category, attribute, batch["bbox"].astype(jnp.float32),
+        batch["num_objects"], preds["category"], preds["attribute"],
+        preds["boxes"], weights=weights, matcher=cfg.matcher,
+        return_assignment=True)
+    m_loss = mask_loss(preds["masks"], batch["masks"], assignment,
+                       batch["num_objects"], dice_weight, focal_weight)
+    total = jnp.sum(losses["total"]) + jnp.sum(m_loss)
+    aux = {f"loss_{k}": jnp.sum(v) for k, v in losses.items()}
+    aux["loss_mask"] = jnp.sum(m_loss)
+    aux["iou"] = jnp.mean(metrics["iou"])
+    return total, aux
 
 
 def make_panoptic_train_step(model: "DETRPanoptic", train_cfg,
@@ -168,34 +200,38 @@ def make_panoptic_train_step(model: "DETRPanoptic", train_cfg,
     """Jittable train step for DETRPanoptic: the standard matched detection
     loss plus the matched mask loss, sharing one bipartite assignment —
     everything (matcher included) in one XLA program. The batch must carry
-    'masks' [B, O, H, W] target masks."""
-    from boosted_detr_tpu.ops import matching
+    'masks' [B, O, H, W] target masks. ``Trainer.compile`` dispatches here
+    automatically for DETRPanoptic modules."""
     from boosted_detr_tpu.train import steps as steps_lib
-
-    cfg = model.config
-    weights = steps_lib.resolve_loss_weights(cfg, train_cfg)
 
     def loss_fn(params, batch_stats, batch, dropout_rng):
         preds, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["image"], train=True, mutable=["batch_stats"],
             rngs={"dropout": dropout_rng})
-        category, attribute = steps_lib.targets_from_batch(
-            batch, cfg.num_categories, cfg.num_attributes)
-        losses, metrics, assignment = matching.matching_loss(
-            category, attribute, batch["bbox"].astype(jnp.float32),
-            batch["num_objects"], preds["category"], preds["attribute"],
-            preds["boxes"], weights=weights, matcher=cfg.matcher,
-            return_assignment=True)
-        m_loss = mask_loss(preds["masks"], batch["masks"], assignment,
-                           batch["num_objects"], dice_weight, focal_weight)
-        total = jnp.sum(losses["total"]) + jnp.sum(m_loss)
-        aux = {f"loss_{k}": jnp.sum(v) for k, v in losses.items()}
-        aux["loss_mask"] = jnp.sum(m_loss)
-        aux["iou"] = jnp.mean(metrics["iou"])
+        total, aux = _panoptic_losses(model, train_cfg, preds, batch,
+                                      dice_weight, focal_weight)
         return total, (aux, mutated.get("batch_stats", {}))
 
     return steps_lib.make_update_step(loss_fn)
+
+
+def make_panoptic_eval_step(model: "DETRPanoptic", train_cfg,
+                            dice_weight: float = 1.0,
+                            focal_weight: float = 1.0):
+    """Validation: the panoptic loss path without updates (same test_step ==
+    train_step convention as detection, reference model.py:235-236)."""
+
+    def eval_step(state, batch):
+        preds = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], train=False)
+        total, aux = _panoptic_losses(model, train_cfg, preds, batch,
+                                      dice_weight, focal_weight)
+        aux["loss"] = total
+        return aux
+
+    return eval_step
 
 
 def masks_from_boxes(bbox: "jnp.ndarray", num_objects: "jnp.ndarray",

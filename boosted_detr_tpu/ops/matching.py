@@ -337,7 +337,7 @@ def hungarian_host(cost: jnp.ndarray, num_objects: jnp.ndarray) -> jnp.ndarray:
 
 
 def solve_matching(cost: jnp.ndarray, num_objects: jnp.ndarray,
-                   method: str = "auction") -> jnp.ndarray:
+                   method: str = "hungarian") -> jnp.ndarray:
     """Dispatch to a matcher backend. method: hungarian (exact, XLA,
     default) | pallas (exact, Pallas kernel) | auction (approximate) |
     hungarian_host (scipy oracle; CPU only)."""

@@ -79,11 +79,18 @@ def make_optimizer(cfg: TrainConfig, d_model: int = 256,
         raise ValueError(f"unknown optimizer '{cfg.optimizer}'")
     tx = optax.chain(*chain)
     if trainable_mask is not None:
-        tx = optax.multi_transform(
-            {"train": tx, "freeze": optax.set_to_zero()},
-            jax.tree_util.tree_map(
-                lambda t: "train" if t else "freeze", trainable_mask))
+        tx = apply_trainable_mask(tx, trainable_mask)
     return tx
+
+
+def apply_trainable_mask(tx: optax.GradientTransformation,
+                         trainable_mask) -> optax.GradientTransformation:
+    """Wrap any optimizer so params where the mask is False get zero updates
+    (staged freezing for user-supplied optimizers too)."""
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()},
+        jax.tree_util.tree_map(
+            lambda t: "train" if t else "freeze", trainable_mask))
 
 
 def targets_from_batch(batch: Dict[str, jnp.ndarray], num_categories: int,
@@ -167,6 +174,17 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig
     intermediate = train_cfg.use_intermediate_losses
 
     loss_block = train_cfg.train_block if intermediate else None
+    if (loss_block is not None
+            and hasattr(model, "focused_training_layer")
+            and model.focused_training_layer is None):
+        # staged boosted training STOPS the forward at the focused block
+        # (reference boosted_model.py:171, :245-246) — later blocks are
+        # strictly downstream of block k, so gradients are identical but the
+        # stage-k step costs ~(k+1)/n of a full forward. The clone returns a
+        # single output (the focused block's cumulative predictions).
+        model = model.clone(
+            focused_training_layer=min(loss_block,
+                                       model.config.num_decoder_blocks - 1))
 
     def loss_fn(params, batch_stats, batch, dropout_rng):
         outs, mutated = model.apply(
@@ -175,10 +193,8 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig
             mutable=["batch_stats"], rngs={"dropout": dropout_rng})
         preds_list = outs if intermediate else [outs]
         if loss_block is not None:
-            # staged boosted training: only the focused block's cumulative
-            # loss contributes (reference boosted_model.py:232-246 stops the
-            # forward at the focused layer; gradients are identical because
-            # later blocks are strictly downstream of block k)
+            # only the focused block's cumulative loss contributes; with a
+            # focused model the list already holds just that block
             preds_list = [preds_list[min(loss_block, len(preds_list) - 1)]]
         loss, aux = compute_losses(preds_list, batch, model_cfg, weights)
         return loss, (aux, mutated.get("batch_stats", {}))

@@ -76,23 +76,40 @@ class Trainer:
 
         return jax.tree_util.tree_map_with_path(decide, params)
 
+    def _is_panoptic(self) -> bool:
+        from boosted_detr_tpu.models import panoptic as panoptic_lib
+
+        return isinstance(self.model, panoptic_lib.DETRPanoptic)
+
     def compile(self, optimizer=None, sample_batch=None):
         """Build optimizer + jitted steps + initial state. ``optimizer`` may
         be a ready optax GradientTransformation (parity with passing a Keras
-        optimizer to compile, reference README.md:43)."""
+        optimizer to compile, reference README.md:43); ``train_block``
+        freezing applies to it too via an optimizer mask. DETRPanoptic
+        modules get the panoptic (detection + matched mask loss) step."""
         assert sample_batch is not None, "compile needs a sample batch"
         variables = jax.jit(self.model.init)(
             jax.random.PRNGKey(self.train_cfg.seed), sample_batch["image"])
         mask = self._trainable_mask(variables["params"])
-        tx = optimizer if optimizer is not None else steps_lib.make_optimizer(
-            self.train_cfg, d_model=self.model_cfg.decoder_dim,
-            trainable_mask=mask)
+        if optimizer is not None:
+            tx = (steps_lib.apply_trainable_mask(optimizer, mask)
+                  if mask is not None else optimizer)
+        else:
+            tx = steps_lib.make_optimizer(
+                self.train_cfg, d_model=self.model_cfg.decoder_dim,
+                trainable_mask=mask)
         self.state = steps_lib.TrainState.create(
             variables["params"], variables.get("batch_stats", {}), tx)
         # donate the state: its buffers are reused in place instead of
         # copied every step (29M params in the flagship config)
-        train_step = steps_lib.make_train_step(
-            self.model, self.model_cfg, self.train_cfg)
+        if self._is_panoptic():
+            from boosted_detr_tpu.models import panoptic as panoptic_lib
+
+            train_step = panoptic_lib.make_panoptic_train_step(
+                self.model, self.train_cfg)
+        else:
+            train_step = steps_lib.make_train_step(
+                self.model, self.model_cfg, self.train_cfg)
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
 
         def train_scan(state, stacked, rng):
@@ -105,8 +122,14 @@ class Trainer:
         # grouped-step variant: one dispatch executes scan_steps steps over a
         # stacked superbatch (amortizes per-dispatch overhead)
         self._train_scan = jax.jit(train_scan, donate_argnums=(0,))
-        self._eval_step = jax.jit(steps_lib.make_eval_step(
-            self.model, self.model_cfg, self.train_cfg))
+        if self._is_panoptic():
+            from boosted_detr_tpu.models import panoptic as panoptic_lib
+
+            self._eval_step = jax.jit(panoptic_lib.make_panoptic_eval_step(
+                self.model, self.train_cfg))
+        else:
+            self._eval_step = jax.jit(steps_lib.make_eval_step(
+                self.model, self.model_cfg, self.train_cfg))
         self._predict_step = jax.jit(steps_lib.make_predict_step(self.model))
         if self.train_cfg.checkpoint_dir:
             self._ckpt_mgr = _make_checkpoint_manager(
@@ -169,19 +192,24 @@ class Trainer:
 
     # -- loops ------------------------------------------------------------
 
-    def _place(self, batch):
-        """Batch-axis sharding over 'data'; falls back to single-device
-        placement when the batch doesn't divide the mesh axis."""
-        keys = ("image", "category_ids", "attribute_ids", "bbox",
-                "num_objects")
+    BATCH_KEYS = ("image", "category_ids", "attribute_ids", "bbox",
+                  "num_objects", "masks")
+
+    def _place(self, batch, batch_axis: int = 0):
+        """Shard the batch axis over 'data' (``batch_axis=1`` for stacked
+        [scan_steps, B, ...] superbatches); falls back to replication when
+        the batch doesn't divide the mesh axis."""
         n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
-        b = int(np.shape(batch["image"])[0])
+        b = int(np.shape(batch["image"])[batch_axis])
         if n_data > 1 and b % n_data == 0:
-            sh = mesh_lib.batch_sharding(self.mesh)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = P(*([None] * batch_axis + [mesh_lib.DATA_AXIS]))
+            sh = NamedSharding(self.mesh, spec)
         else:
             sh = mesh_lib.replicated(self.mesh)
         return {k: jax.device_put(v, sh) for k, v in batch.items()
-                if k in keys}
+                if k in self.BATCH_KEYS}
 
     def fit(self, batches: Iterable[Dict[str, np.ndarray]],
             epochs: int = 1, steps_per_epoch: Optional[int] = None,
@@ -216,18 +244,24 @@ class Trainer:
                 nonlocal running, n_steps
                 if not pending:
                     return
-                if len(pending) == 1:
-                    self.state, aux = self._train_step(
-                        self.state, pending[0], self._rng)
-                    losses = [float(aux["loss"])]
-                else:
+                if len(pending) == scan_steps and scan_steps > 1:
                     stacked = {k: np.stack([b[k] for b in pending])
                                for k in pending[0]}
-                    stacked = self._place(stacked)
+                    # the batch axis of the stacked superbatch is axis 1
+                    stacked = self._place(stacked, batch_axis=1)
                     self.state, aux = self._train_scan(
                         self.state, stacked, self._rng)
                     losses = [float(x) for x in np.asarray(aux["loss"])]
                     aux = {k: v[-1] for k, v in aux.items()}
+                else:
+                    # single batches and partial tail groups dispatch
+                    # per-step: reusing _train_step avoids retracing
+                    # _train_scan for every distinct remainder length
+                    losses = []
+                    for b in pending:
+                        self.state, aux = self._train_step(
+                            self.state, self._place(b), self._rng)
+                        losses.append(float(aux["loss"]))
                 for loss in losses:
                     if not np.isfinite(loss):
                         raise NaNLossError(
@@ -245,17 +279,10 @@ class Trainer:
             for batch in it:
                 if batch_fn is not None:
                     batch = batch_fn(batch)
-                if scan_steps <= 1:
-                    pending.append(self._place(batch))
+                pending.append({k: np.asarray(v) for k, v in batch.items()
+                                if k in self.BATCH_KEYS})
+                if len(pending) >= max(scan_steps, 1):
                     run_pending()
-                else:
-                    pending.append({k: np.asarray(v) for k, v in
-                                    batch.items()
-                                    if k in ("image", "category_ids",
-                                             "attribute_ids", "bbox",
-                                             "num_objects")})
-                    if len(pending) >= scan_steps:
-                        run_pending()
                 if steps_per_epoch and n_steps >= steps_per_epoch:
                     stop_epoch = True
                     break
