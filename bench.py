@@ -40,7 +40,8 @@ def main():
     batch_size = 8
     cfg = ModelConfig(image_size=(640, 640), backbone="resnet",
                       compute_dtype="bfloat16", max_objects=32,
-                      matcher="pallas")  # fastest exact solver on TPU
+                      matcher="pallas",  # fastest exact solver on TPU
+                      stem="patchify")  # TPU-first stem (RESULTS.md round 2)
     tcfg = TrainConfig(batch_size=batch_size)
     model = DETR(cfg)
 
@@ -96,7 +97,11 @@ def main():
 
     # NOTE: on the axon tunnel jax.block_until_ready does NOT synchronize;
     # only fetching a host value does. Every timed region ends with float().
-    n = 20
+    # 100 steps/chunk: the tunnel's dispatch+fetch round trip is ~40 ms and
+    # must be amortized, or it reads as ~2 ms/step of phantom TPU time
+    # (device time from the profiler is the ground truth; n=100 gets wall
+    # time within ~1% of it)
+    n = 100
     # train: compile once, then time content-chained calls
     state, losses = train_chunk(state, batch, key, n)
     float(losses.sum())

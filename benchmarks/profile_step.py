@@ -1,0 +1,149 @@
+"""Profile the flagship train step on TPU and attribute device time by op.
+
+Runs a few steps under jax.profiler, parses the xplane protobuf with
+tensorflow's profiler protos, and prints per-op-category self time. Usage:
+
+    python benchmarks/profile_step.py [--batch 8] [--steps 3] [--top 25]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+_OPCODE_RE = re.compile(r"[\]\)\}] ([a-z][a-z0-9-]*)\(")
+
+
+def categorize(name: str) -> str:
+    """Opcode of the defining HLO instruction (e.g. '%x = bf16[...] copy(...)'
+    -> 'copy'); fused computations report as 'fusion'."""
+    m = _OPCODE_RE.search(name)
+    return m.group(1) if m else name.split(" = ")[0].lstrip("%").split(".")[0]
+
+
+def run_profiled_steps(batch_size: int, n_steps: int, logdir: str):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boosted_detr_tpu.config import ModelConfig, TrainConfig
+    from boosted_detr_tpu.models.detr import DETR
+    from boosted_detr_tpu.train import steps
+
+    cfg = ModelConfig(image_size=(640, 640), backbone="resnet",
+                      compute_dtype="bfloat16", max_objects=32,
+                      matcher="pallas")
+    tcfg = TrainConfig(batch_size=batch_size)
+    model = DETR(cfg)
+    h, w = cfg.image_size
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.uniform(0, 1, (batch_size, h, w, 3)),
+                             jnp.float32),
+        "category_ids": jnp.asarray(
+            rng.integers(2, cfg.num_categories, (batch_size, 32)), jnp.int32),
+        "attribute_ids": jnp.asarray(
+            rng.integers(0, cfg.num_attributes, (batch_size, 32, 4)),
+            jnp.int32),
+        "bbox": jnp.asarray(rng.uniform(0.05, 0.45, (batch_size, 32, 4)),
+                            jnp.float32),
+        "num_objects": jnp.asarray(
+            rng.integers(1, 33, (batch_size,)), jnp.int32),
+    }
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch["image"])
+    tx = steps.make_optimizer(tcfg, d_model=cfg.decoder_dim)
+    state = steps.TrainState.create(variables["params"],
+                                    variables["batch_stats"], tx)
+    step = jax.jit(steps.make_train_step(model, cfg, tcfg))
+    key = jax.random.PRNGKey(0)
+
+    # warmup/compile
+    state, aux = step(state, batch, key)
+    print("warmup loss", float(aux["loss"]))
+
+    jax.profiler.start_trace(logdir)
+    for i in range(n_steps):
+        b = dict(batch, image=batch["image"] + i * 1e-6)
+        state, aux = step(state, b, key)
+    loss = float(aux["loss"])  # host fetch = real barrier
+    jax.profiler.stop_trace()
+    print("profiled", n_steps, "steps, final loss", loss)
+    return n_steps
+
+
+def parse_xplane(logdir: str, n_steps: int, top: int):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                      recursive=True)
+    assert paths, f"no xplane under {logdir}"
+    xspace = xplane_pb2.XSpace()
+    with open(paths[0], "rb") as f:
+        xspace.ParseFromString(f.read())
+
+    op_time = collections.Counter()
+    total = 0
+    for plane in xspace.planes:
+        if "TPU" not in plane.name:
+            continue
+        ev_names = {i: m.name for i, m in plane.event_metadata.items()}
+        for line in plane.lines:
+            # 'XLA Ops' is the serialized execution timeline; 'Async XLA
+            # Ops' are overlapping DMA spans (param prefetch) — they are
+            # hidden under compute and counting them misattributes time.
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                name = ev_names.get(ev.metadata_id, "?")
+                dur = ev.duration_ps / 1e9  # ms
+                op_time[name] += dur
+                total += dur
+    per_step = {k: v / n_steps for k, v in op_time.items()}
+    cats = collections.Counter()
+    for name, ms in per_step.items():
+        cats[categorize(name)] += ms
+    print(f"\n== device time by category (ms/step, total "
+          f"{total / n_steps:.2f}) ==")
+    for cat, ms in cats.most_common():
+        print(f"  {cat:16s} {ms:8.3f}")
+    buckets = collections.Counter()
+    for name, ms in per_step.items():
+        for tag in ("640,640", "320,320", "160,160", "80,80", "40,40",
+                    "20,20"):
+            if tag in name:
+                buckets[tag] += ms
+                break
+        else:
+            buckets["non-spatial"] += ms
+    print("\n== device time by activation resolution (ms/step) ==")
+    for tag, ms in buckets.most_common():
+        print(f"  {tag:12s} {ms:8.3f}")
+
+    print(f"\n== top {top} ops (ms/step) ==")
+    for name, ms in sorted(per_step.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {ms:8.3f}  {name[:240]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--logdir", default=None)
+    args = ap.parse_args()
+    logdir = args.logdir or tempfile.mkdtemp(prefix="prof_")
+    n = run_profiled_steps(args.batch, args.steps, logdir)
+    parse_xplane(logdir, n, args.top)
+
+
+if __name__ == "__main__":
+    main()

@@ -64,6 +64,11 @@ class ModelConfig:
     # --- architecture ---
     backbone: str = "efficientnet_lite"  # efficientnet_lite | resnet | tiny
     backbone_width: float = 1.0
+    # ResNet stem: "conv7" = classic 7x7/s2 + 3x3 maxpool; "patchify" =
+    # TPU-first 4x4/s4 conv (same stride-4 / 64-ch contract, no maxpool —
+    # profiling shows the classic stem cluster costs ~6 ms of a 32 ms
+    # 640px train step on v5e; see benchmarks/RESULTS.md)
+    stem: str = "conv7"
     # Hidden dim of classification heads; the reference uses 4*decoder_dim for
     # standard DETR (model.py:101-108) and decoder_dim for boosted
     # (boosted_model.py:118-137). None = 4*decoder_dim.

@@ -99,19 +99,35 @@ class BottleneckBlock(nn.Module):
 
 
 class ResNetBackbone(nn.Module):
-    """ResNet-50-style backbone, stride 32. ``width`` scales channel counts."""
+    """ResNet-50-style backbone, stride 32. ``width`` scales channel counts.
+
+    ``stem='patchify'`` swaps the classic 7x7/s2 conv + 3x3/s2 maxpool for a
+    single 4x4/s4 ("patchify") conv with the same output contract (stride 4,
+    w(64) channels). TPU rationale: the 7x7 stem conv runs at <8 TFLOP/s on
+    the MXU (3 input channels waste the reduction lanes; the 640px input
+    needs a layout copy), and the maxpool's backward is a select-and-scatter
+    — together ~6 ms of a 32 ms 640px/bs8 train step. The patchify stem's
+    conv is 12x fewer FLOPs, needs no pool, and halves the 320x320
+    intermediate traffic (ConvNeXt showed patchify stems match quality)."""
 
     width: float = 1.0
     depths: Sequence[int] = (3, 4, 6, 3)
     norm: str = "batchnorm"
     dtype: jnp.dtype = jnp.float32
+    stem: str = "conv7"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         w = lambda c: max(32, int(c * self.width))  # noqa: E731
-        x = ConvNormAct(w(64), (7, 7), (2, 2), norm=self.norm,
-                        dtype=self.dtype, name="stem")(x, train=train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        if self.stem == "patchify":
+            # (an explicit space-to-depth + 1x1-conv form measured the same:
+            # the s2d transpose costs what the conv's layout copy costs)
+            x = ConvNormAct(w(64), (4, 4), (4, 4), norm=self.norm,
+                            dtype=self.dtype, name="stem")(x, train=train)
+        else:
+            x = ConvNormAct(w(64), (7, 7), (2, 2), norm=self.norm,
+                            dtype=self.dtype, name="stem")(x, train=train)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         for stage, (depth, feats) in enumerate(
                 zip(self.depths, (w(256), w(512), w(1024), w(2048)))):
             for i in range(depth):
@@ -216,6 +232,7 @@ class EncoderBackbone(nn.Module):
     width: float = 1.0
     norm: str = "batchnorm"
     dtype: jnp.dtype = jnp.float32
+    stem: str = "conv7"
 
     @nn.compact
     def __call__(self, image, *, train: bool = False):
@@ -223,7 +240,7 @@ class EncoderBackbone(nn.Module):
         x = (x * 2.0 - 1.0).astype(self.dtype)  # [-1, 1]
         if self.backbone == "resnet":
             net = ResNetBackbone(self.width, norm=self.norm, dtype=self.dtype,
-                                 name="resnet")
+                                 stem=self.stem, name="resnet")
         elif self.backbone == "efficientnet_lite":
             net = EfficientNetLiteBackbone(self.width, norm=self.norm,
                                            dtype=self.dtype, name="effnet")

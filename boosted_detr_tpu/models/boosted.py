@@ -47,7 +47,8 @@ class BoostedDETR(nn.Module):
         dtype = jnp.dtype(cfg.compute_dtype)
         n = cfg.num_decoder_blocks
         self.backbone = EncoderBackbone(cfg.backbone, cfg.backbone_width,
-                                        cfg.norm, dtype, name="backbone")
+                                        cfg.norm, dtype, cfg.stem,
+                                        name="backbone")
         self.neck = BackboneNeck(cfg.encoder_dim, cfg.norm, dtype,
                                  name="neck")
         # one single-block encoder per weak learner (each with its own

@@ -41,7 +41,8 @@ class DETR(nn.Module):
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
         self.backbone = EncoderBackbone(cfg.backbone, cfg.backbone_width,
-                                        cfg.norm, dtype, name="backbone")
+                                        cfg.norm, dtype, cfg.stem,
+                                        name="backbone")
         self.neck = BackboneNeck(cfg.encoder_dim, cfg.norm, dtype,
                                  name="neck")
         self.encoder = layers.ImageEncoder(

@@ -72,6 +72,56 @@ def test_backbone_stride_32(rng):
         assert out.shape[:3] == (1, 2, 3), (name, out.shape)
 
 
+def test_resnet_patchify_stem_same_contract(rng):
+    """The TPU-first patchify stem (bench flagship) keeps the conv7 stem's
+    output contract: stride 32 overall, same channel count — and trains
+    (loss decreases on a fixed batch)."""
+    import optax
+
+    from boosted_detr_tpu.config import ModelConfig, TrainConfig
+    from boosted_detr_tpu.models.detr import DETR
+    from boosted_detr_tpu.train import steps
+
+    img = jnp.asarray(rng.uniform(size=(2, 64, 96, 3)).astype(np.float32))
+    outs = {}
+    for stem in ("conv7", "patchify"):
+        bb = EncoderBackbone(backbone="resnet", width=0.25, stem=stem)
+        variables = bb.init(jax.random.PRNGKey(0), img)
+        outs[stem] = bb.apply(variables, img)
+    assert outs["conv7"].shape == outs["patchify"].shape
+
+    cfg = ModelConfig(
+        num_object_preds=8, image_size=(64, 64), num_encoder_blocks=1,
+        num_encoder_heads=2, encoder_dim=16, num_decoder_blocks=2,
+        num_decoder_heads=2, decoder_dim=16, num_categories=6,
+        num_attributes=4, backbone="resnet", backbone_width=0.25,
+        stem="patchify", compute_dtype="float32", max_objects=3,
+        dropout_rate=0.0)
+    tcfg = TrainConfig(optimizer="adamw", learning_rate=1e-3,
+                       lr_schedule="constant", clipnorm=0.0)
+    model = DETR(cfg)
+    batch = {
+        "image": jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)),
+                             jnp.float32),
+        "category_ids": jnp.asarray(rng.integers(2, 6, (2, 3)), jnp.int32),
+        "attribute_ids": jnp.asarray(rng.integers(0, 4, (2, 3, 2)),
+                                     jnp.int32),
+        "bbox": jnp.asarray(rng.uniform(0.1, 0.4, (2, 3, 4)), jnp.float32),
+        "num_objects": jnp.full((2,), 3, jnp.int32),
+    }
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch["image"])
+    tx = steps.make_optimizer(tcfg, d_model=cfg.decoder_dim)
+    state = steps.TrainState.create(variables["params"],
+                                    variables["batch_stats"], tx)
+    step = jax.jit(steps.make_train_step(model, cfg, tcfg))
+    first = None
+    for _ in range(15):
+        state, aux = step(state, batch, jax.random.PRNGKey(1))
+        if first is None:
+            first = float(aux["loss"])
+    assert float(aux["loss"]) < 0.9 * first
+
+
 def test_neck_projects_dim(rng):
     neck = BackboneNeck(encoder_dim=16)
     x = jnp.asarray(rng.normal(size=(2, 3, 3, 64)).astype(np.float32))
