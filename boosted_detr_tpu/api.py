@@ -121,6 +121,16 @@ class _ModelBase:
         assert self.trainer is not None, "call compile() first"
         return self.trainer.evaluate(batches)
 
+    def load_pretrained_backbone(self, source: str):
+        """Offline ImageNet-weight import for the ResNet backbone (the
+        reference's ``weights='imagenet'`` option, backbone.py:37-39): pass
+        an npz in the documented layout or a torchvision-style state-dict
+        file. Set ``preprocessing='imagenet'|'caffe'`` in the constructor to
+        match the weights. See models/pretrained.py."""
+        assert self.trainer is not None, "call compile() first"
+        self.trainer.load_pretrained_backbone(source)
+        return self
+
     # -- whole-model persistence (config + vocab + weights) --
     def save(self, path: str):
         """Save config + vocabulary + weights to a directory (the Keras

@@ -69,6 +69,12 @@ class ModelConfig:
     # profiling shows the classic stem cluster costs ~6 ms of a 32 ms
     # 640px train step on v5e; see benchmarks/RESULTS.md)
     stem: str = "conv7"
+    # Input preprocessing parity (images arrive in [0,1]): "scale" = [-1,1]
+    # (from-scratch default); "imagenet" = torch RGB mean/std; "caffe" =
+    # Keras resnet.preprocess_input parity (RGB->BGR, channel means;
+    # reference backbone.py:37-39). Match this to imported pretrained
+    # weights (models/pretrained.py).
+    preprocessing: str = "scale"
     # Hidden dim of classification heads; the reference uses 4*decoder_dim for
     # standard DETR (model.py:101-108) and decoder_dim for boosted
     # (boosted_model.py:118-137). None = 4*decoder_dim.

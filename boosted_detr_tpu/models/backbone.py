@@ -233,11 +233,27 @@ class EncoderBackbone(nn.Module):
     norm: str = "batchnorm"
     dtype: jnp.dtype = jnp.float32
     stem: str = "conv7"
+    preprocessing: str = "scale"
 
     @nn.compact
     def __call__(self, image, *, train: bool = False):
         x = jnp.clip(image.astype(jnp.float32), 0.0, 1.0)
-        x = (x * 2.0 - 1.0).astype(self.dtype)  # [-1, 1]
+        if self.preprocessing == "scale":
+            x = x * 2.0 - 1.0  # [-1, 1] (from-scratch default)
+        elif self.preprocessing == "imagenet":
+            # torch-pretrained parity: RGB mean/std normalize
+            mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+            std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+            x = (x - mean) / std
+        elif self.preprocessing == "caffe":
+            # Keras resnet.preprocess_input parity (reference
+            # backbone.py:37-39): 0-255 BGR minus ImageNet channel means
+            x = x[..., ::-1] * 255.0
+            x = x - jnp.asarray([103.939, 116.779, 123.68], jnp.float32)
+        else:
+            raise ValueError(
+                f"unknown preprocessing '{self.preprocessing}'")
+        x = x.astype(self.dtype)
         if self.backbone == "resnet":
             net = ResNetBackbone(self.width, norm=self.norm, dtype=self.dtype,
                                  stem=self.stem, name="resnet")

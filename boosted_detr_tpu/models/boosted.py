@@ -48,7 +48,7 @@ class BoostedDETR(nn.Module):
         n = cfg.num_decoder_blocks
         self.backbone = EncoderBackbone(cfg.backbone, cfg.backbone_width,
                                         cfg.norm, dtype, cfg.stem,
-                                        name="backbone")
+                                        cfg.preprocessing, name="backbone")
         self.neck = BackboneNeck(cfg.encoder_dim, cfg.norm, dtype,
                                  name="neck")
         # one single-block encoder per weak learner (each with its own

@@ -42,7 +42,7 @@ class DETR(nn.Module):
         dtype = jnp.dtype(cfg.compute_dtype)
         self.backbone = EncoderBackbone(cfg.backbone, cfg.backbone_width,
                                         cfg.norm, dtype, cfg.stem,
-                                        name="backbone")
+                                        cfg.preprocessing, name="backbone")
         self.neck = BackboneNeck(cfg.encoder_dim, cfg.norm, dtype,
                                  name="neck")
         self.encoder = layers.ImageEncoder(

@@ -1,12 +1,29 @@
-"""COCO-protocol mAP evaluator.
+"""COCO-protocol mAP/AR evaluator (full pycocotools semantics, pure numpy).
 
 The reference has NO mAP evaluation anywhere (SURVEY §5.5) — its only quality
 metric is a masked pairwise IoU. BASELINE.json's quality target ("match
 reference Fashionpedia mAP") needs a real evaluator, so this implements the
-COCO protocol (no pycocotools on this image): AP averaged over IoU thresholds
-0.50:0.95:0.05 with 101-point interpolated precision-recall, per-category,
-greedy score-ordered matching, maxDets cap. Pure numpy, oracle-tested on hand
-cases.
+COCO detection protocol faithfully (pycocotools is not installed on this
+image; the algorithm below follows the published COCOeval rules):
+
+- AP averaged over IoU thresholds 0.50:0.95:0.05, 101-point interpolated PR;
+- area ranges all/small/medium/large ([0, 32^2, 96^2, 1e5^2] in box-area
+  units): ground truths outside the range are IGNORED (not counted, and
+  matching them neither helps nor hurts); unmatched detections outside the
+  range are ignored rather than counted as false positives;
+- iscrowd: crowd ground truths are ignore-regions matched by
+  intersection-over-detection-area, may absorb multiple detections, and are
+  matched only when no valid ground truth is available;
+- maxDets (1, 10, 100): AP uses the largest; AR is reported per maxDets;
+- detections sorted by descending score with a STABLE sort (ties keep input
+  order, matching pycocotools' mergesort).
+
+Matching per (image, category, IoU threshold), detections in score order:
+each detection takes the not-yet-matched ground truth with the highest IoU
+>= threshold, preferring any valid ground truth over ignored ones (the scan
+stops at the first ignored gt once a valid match is held; ground truths are
+ordered valid-first). A detection matched to an ignored gt inherits the
+ignore flag.
 
 DETR emits a fixed set of predictions with no NMS (reference model.py:226-233
 emits raw heads); class 0 (<PAD>) is the no-object class and is excluded.
@@ -14,129 +31,232 @@ emits raw heads); class 0 (<PAD>) is the no-object class and is excluded.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+MAX_DETS = (1, 10, 100)
 
 
-def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Pairwise IoU of COCO-format [x, y, w, h] boxes: [len(a), len(b)]."""
-    if len(a) == 0 or len(b) == 0:
-        return np.zeros((len(a), len(b)), np.float32)
-    ax0, ay0 = a[:, 0], a[:, 1]
-    ax1, ay1 = a[:, 0] + np.maximum(a[:, 2], 0), a[:, 1] + np.maximum(
-        a[:, 3], 0)
-    bx0, by0 = b[:, 0], b[:, 1]
-    bx1, by1 = b[:, 0] + np.maximum(b[:, 2], 0), b[:, 1] + np.maximum(
-        b[:, 3], 0)
-    ix0 = np.maximum(ax0[:, None], bx0[None, :])
-    iy0 = np.maximum(ay0[:, None], by0[None, :])
-    ix1 = np.minimum(ax1[:, None], bx1[None, :])
-    iy1 = np.minimum(ay1[:, None], by1[None, :])
+def _iou_matrix(det: np.ndarray, gt: np.ndarray,
+                crowd: Optional[np.ndarray] = None) -> np.ndarray:
+    """Pairwise IoU of COCO-format [x, y, w, h] boxes [len(det), len(gt)].
+    Columns whose ``crowd`` flag is set use intersection / detection-area
+    (the pycocotools crowd rule)."""
+    if len(det) == 0 or len(gt) == 0:
+        return np.zeros((len(det), len(gt)), np.float32)
+    dx0, dy0 = det[:, 0], det[:, 1]
+    dx1 = det[:, 0] + np.maximum(det[:, 2], 0)
+    dy1 = det[:, 1] + np.maximum(det[:, 3], 0)
+    gx0, gy0 = gt[:, 0], gt[:, 1]
+    gx1 = gt[:, 0] + np.maximum(gt[:, 2], 0)
+    gy1 = gt[:, 1] + np.maximum(gt[:, 3], 0)
+    ix0 = np.maximum(dx0[:, None], gx0[None, :])
+    iy0 = np.maximum(dy0[:, None], gy0[None, :])
+    ix1 = np.minimum(dx1[:, None], gx1[None, :])
+    iy1 = np.minimum(dy1[:, None], gy1[None, :])
     inter = np.maximum(ix1 - ix0, 0) * np.maximum(iy1 - iy0, 0)
-    area_a = (ax1 - ax0) * (ay1 - ay0)
-    area_b = (bx1 - bx0) * (by1 - by0)
-    union = area_a[:, None] + area_b[None, :] - inter
+    area_d = (dx1 - dx0) * (dy1 - dy0)
+    area_g = (gx1 - gx0) * (gy1 - gy0)
+    union = area_d[:, None] + area_g[None, :] - inter
+    if crowd is not None and crowd.any():
+        union = np.where(crowd[None, :], area_d[:, None], union)
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
-def _ap_from_matches(scores: np.ndarray, matched: np.ndarray,
-                     num_gt: int) -> float:
-    """101-point interpolated AP given per-detection scores and a bool
-    'matched a ground truth' flag (already score-sorted)."""
-    if num_gt == 0:
-        return np.nan
-    if len(scores) == 0:
-        return 0.0
-    tp = np.cumsum(matched)
-    fp = np.cumsum(~matched)
-    recall = tp / num_gt
-    precision = tp / np.maximum(tp + fp, 1e-12)
-    # monotone non-increasing precision envelope
+def _match_image(ious: np.ndarray, gt_ignore: np.ndarray,
+                 thresholds: np.ndarray, gt_crowd: np.ndarray
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """pycocotools evalImg matching. ``ious`` [D, G] with gts ordered
+    valid-first; returns (dt_match [T, D] gt-index+1 or 0,
+    dt_ignore [T, D])."""
+    n_d, n_g = ious.shape
+    n_t = len(thresholds)
+    dtm = np.zeros((n_t, n_d), np.int64)
+    dt_ig = np.zeros((n_t, n_d), bool)
+    gtm = np.zeros((n_t, n_g), np.int64)
+    for ti, t in enumerate(thresholds):
+        for d in range(n_d):
+            best = min(t, 1 - 1e-10)
+            m = -1
+            for g in range(n_g):
+                if gtm[ti, g] > 0 and not gt_crowd[g]:
+                    continue  # taken (crowds may absorb many detections)
+                if m > -1 and not gt_ignore[m] and gt_ignore[g]:
+                    break  # valid match held; rest are ignored gts
+                if ious[d, g] < best:
+                    continue
+                best = ious[d, g]
+                m = g
+            if m == -1:
+                continue
+            dtm[ti, d] = m + 1
+            dt_ig[ti, d] = gt_ignore[m]
+            gtm[ti, m] = d + 1
+    return dtm, dt_ig
+
+
+def _interp_ap(recall: np.ndarray, precision: np.ndarray) -> float:
+    """101-point interpolation (precision envelope, searchsorted 'left')."""
     precision = np.maximum.accumulate(precision[::-1])[::-1]
-    # 101-point interpolation
     idx = np.searchsorted(recall, RECALL_POINTS, side="left")
-    prec_at = np.where(idx < len(precision), precision[np.minimum(
-        idx, len(precision) - 1)], 0.0)
+    prec_at = np.where(idx < len(precision),
+                       precision[np.minimum(idx, len(precision) - 1)], 0.0)
     return float(prec_at.mean())
 
 
 def compute_map(predictions: Sequence[Dict[str, np.ndarray]],
                 ground_truths: Sequence[Dict[str, np.ndarray]],
                 iou_thresholds: Optional[np.ndarray] = None,
-                max_dets: int = 100) -> Dict[str, float]:
-    """COCO-style mAP.
+                max_dets: Sequence[int] = MAX_DETS,
+                area_ranges: Optional[Dict[str, Tuple[float, float]]] = None
+                ) -> Dict[str, float]:
+    """Full COCO-protocol evaluation.
 
     Args:
-      predictions: per image: {'boxes' [P,4] COCO, 'scores' [P],
+      predictions: per image: {'boxes' [P,4] COCO [x,y,w,h], 'scores' [P],
         'labels' [P] int}.
-      ground_truths: per image: {'boxes' [n,4] COCO, 'labels' [n] int}.
+      ground_truths: per image: {'boxes' [n,4], 'labels' [n] int, optional
+        'iscrowd' [n] 0/1, optional 'area' [n] (defaults to w*h)}.
+      max_dets: detection caps; AP uses the largest, AR reported per cap.
+      area_ranges: name -> (lo, hi) area bounds; default COCO pixel ranges
+        (pass custom ranges for normalized boxes).
 
-    Returns dict with 'mAP' (mean over IoU 0.50:0.95), 'mAP50', 'mAP75',
-    'per_class' (dict label -> AP).
+    Returns the COCO metric dict: mAP, mAP50, mAP75, mAP_small/medium/large,
+    AR@k per max_dets cap, AR_small/medium/large, per_class.
     """
     thresholds = (IOU_THRESHOLDS if iou_thresholds is None
                   else np.asarray(iou_thresholds))
+    ranges = AREA_RANGES if area_ranges is None else area_ranges
+    max_dets = sorted(int(m) for m in np.atleast_1d(max_dets))
+    top_det = max_dets[-1]
     assert len(predictions) == len(ground_truths)
 
-    all_labels = sorted(
+    classes = sorted(
         {int(l) for gt in ground_truths for l in np.asarray(gt["labels"])})
+    n_t, n_k = len(thresholds), len(classes)
 
-    # per (class, threshold): gather detections across images
-    ap = np.full((len(all_labels), len(thresholds)), np.nan)
-    per_class: Dict[int, float] = {}
-    for ci, cls in enumerate(all_labels):
-        det_scores: List[np.ndarray] = []
-        det_matched: List[np.ndarray] = [[] for _ in thresholds]
-        num_gt = 0
-        records = []  # (score, image_idx, iou_row against that image's gts)
-        for img_idx, (pred, gt) in enumerate(zip(predictions, ground_truths)):
-            p_mask = np.asarray(pred["labels"]) == cls
-            g_mask = np.asarray(gt["labels"]) == cls
-            p_boxes = np.asarray(pred["boxes"], np.float32)[p_mask]
-            p_scores = np.asarray(pred["scores"], np.float32)[p_mask]
-            g_boxes = np.asarray(gt["boxes"], np.float32)[g_mask]
-            num_gt += len(g_boxes)
-            if len(p_scores) > max_dets:
-                keep = np.argsort(-p_scores)[:max_dets]
-                p_boxes, p_scores = p_boxes[keep], p_scores[keep]
-            ious = _iou_matrix(p_boxes, g_boxes)
-            for k in range(len(p_scores)):
-                records.append((float(p_scores[k]), img_idx, ious[k]))
+    # ---- per (class, image): match once per area range ----
+    # eval[(ci, area)][img] = (scores, dtm [T,D], dt_ig [T,D], npig)
+    evals: Dict[Tuple[int, str], List] = {
+        (ci, a): [] for ci in range(n_k) for a in ranges}
+    for pred, gt in zip(predictions, ground_truths):
+        p_labels = np.asarray(pred["labels"])
+        p_boxes = np.asarray(pred["boxes"], np.float32).reshape(-1, 4)
+        p_scores = np.asarray(pred["scores"], np.float32)
+        g_labels = np.asarray(gt["labels"])
+        g_boxes = np.asarray(gt["boxes"], np.float32).reshape(-1, 4)
+        g_crowd = np.asarray(gt.get("iscrowd",
+                                    np.zeros(len(g_labels)))).astype(bool)
+        g_area = np.asarray(gt.get(
+            "area", np.maximum(g_boxes[:, 2], 0) * np.maximum(g_boxes[:, 3],
+                                                              0)),
+            np.float32)
+        d_area = np.maximum(p_boxes[:, 2], 0) * np.maximum(p_boxes[:, 3], 0)
 
-        if num_gt == 0:
-            continue
-        records.sort(key=lambda r: -r[0])
-        scores_sorted = np.asarray([r[0] for r in records])
-        for ti, t in enumerate(thresholds):
-            used: Dict[int, np.ndarray] = {}
-            matched = np.zeros(len(records), bool)
-            for k, (score, img_idx, iou_row) in enumerate(records):
-                if len(iou_row) == 0:
+        for ci, cls in enumerate(classes):
+            dm = p_labels == cls
+            gm = g_labels == cls
+            d_idx = np.nonzero(dm)[0]
+            # stable score sort + cap at the largest maxDets
+            order = np.argsort(-p_scores[d_idx], kind="stable")[:top_det]
+            d_idx = d_idx[order]
+            scores = p_scores[d_idx]
+            areas_d = d_area[d_idx]
+            boxes_d = p_boxes[d_idx]
+            g_idx = np.nonzero(gm)[0]
+            for name, (lo, hi) in ranges.items():
+                ig = g_crowd[g_idx] | (g_area[g_idx] < lo) | (
+                    g_area[g_idx] > hi)
+                # valid gts first (stable), matching pycocotools' gtIg sort
+                gorder = np.argsort(ig, kind="stable")
+                gi = g_idx[gorder]
+                ious = _iou_matrix(boxes_d, g_boxes[gi], g_crowd[gi])
+                dtm, dt_ig = _match_image(ious, ig[gorder], thresholds,
+                                          g_crowd[gi])
+                out_of_range = (areas_d < lo) | (areas_d > hi)
+                dt_ig = dt_ig | ((dtm == 0) & out_of_range[None, :])
+                npig = int((~ig).sum())
+                evals[(ci, name)].append((scores, dtm, dt_ig, npig))
+
+    # ---- accumulate ----
+    # precision[T, K, A, M] and recall[T, K, A, M]; -1 = undefined
+    n_a, n_m = len(ranges), len(max_dets)
+    ap = np.full((n_t, n_k, n_a, n_m), -1.0)
+    ar = np.full((n_t, n_k, n_a, n_m), -1.0)
+    for ci in range(n_k):
+        for ai, name in enumerate(ranges):
+            per_img = evals[(ci, name)]
+            for mi, md in enumerate(max_dets):
+                scores = np.concatenate([e[0][:md] for e in per_img]) \
+                    if per_img else np.zeros(0)
+                npig = sum(e[3] for e in per_img)
+                if npig == 0:
                     continue
-                taken = used.setdefault(img_idx,
-                                        np.zeros(len(iou_row), bool))
-                cand = np.where(~taken & (iou_row >= t), iou_row, -1.0)
-                j = int(np.argmax(cand))
-                if cand[j] > 0:
-                    taken[j] = True
-                    matched[k] = True
-            ap[ci, ti] = _ap_from_matches(scores_sorted, matched, num_gt)
-        per_class[cls] = float(np.nanmean(ap[ci]))
+                order = np.argsort(-scores, kind="stable")
+                if per_img:
+                    dtm = np.concatenate([e[1][:, :md] for e in per_img],
+                                         axis=1)[:, order]
+                    dt_ig = np.concatenate([e[2][:, :md] for e in per_img],
+                                           axis=1)[:, order]
+                else:
+                    dtm = np.zeros((n_t, 0))
+                    dt_ig = np.zeros((n_t, 0), bool)
+                tps = (dtm > 0) & ~dt_ig
+                fps = (dtm == 0) & ~dt_ig
+                for ti in range(n_t):
+                    tp = np.cumsum(tps[ti])
+                    fp = np.cumsum(fps[ti])
+                    nd = len(tp)
+                    rc = tp / npig
+                    pr = tp / np.maximum(tp + fp, 1e-12)
+                    ar[ti, ci, ai, mi] = rc[-1] if nd else 0.0
+                    ap[ti, ci, ai, mi] = _interp_ap(rc, pr) if nd else 0.0
 
-    valid = ~np.isnan(ap).all(axis=1)
+    def mean_ap(t_sel=None, area="all", md=top_det):
+        ai = list(ranges).index(area)
+        mi = max_dets.index(md)
+        sub = ap[:, :, ai, mi] if t_sel is None else ap[t_sel, :, ai, mi]
+        valid = sub > -1
+        return float(sub[valid].mean()) if valid.any() else 0.0
+
+    def mean_ar(area="all", md=top_det):
+        ai = list(ranges).index(area)
+        mi = max_dets.index(md)
+        sub = ar[:, :, ai, mi]
+        valid = sub > -1
+        return float(sub[valid].mean()) if valid.any() else 0.0
+
     i50 = int(np.argmin(np.abs(thresholds - 0.50)))
     i75 = int(np.argmin(np.abs(thresholds - 0.75)))
+    per_class = {}
+    mi = max_dets.index(top_det)
+    ai_all = list(ranges).index("all") if "all" in ranges else 0
+    for ci, cls in enumerate(classes):
+        sub = ap[:, ci, ai_all, mi]
+        if (sub > -1).any():
+            per_class[cls] = float(sub[sub > -1].mean())
+
     result = {
-        "mAP": float(np.nanmean(ap[valid])) if valid.any() else 0.0,
-        "mAP50": float(np.nanmean(ap[valid][:, i50])) if valid.any() else 0.0,
-        "mAP75": (float(np.nanmean(ap[valid][:, i75]))
-                  if valid.any() else 0.0),
+        "mAP": mean_ap(),
+        "mAP50": mean_ap(t_sel=i50),
+        "mAP75": mean_ap(t_sel=i75),
         "per_class": per_class,
     }
+    for name in ranges:
+        if name != "all":
+            result[f"mAP_{name}"] = mean_ap(area=name)
+            result[f"AR_{name}"] = mean_ar(area=name)
+    for md in max_dets:
+        result[f"AR@{md}"] = mean_ar(md=md)
     return result
 
 
@@ -161,22 +281,34 @@ def detr_predictions_to_eval(preds: Dict[str, np.ndarray],
 
 def batch_to_ground_truth(batch: Dict[str, np.ndarray]
                           ) -> List[Dict[str, np.ndarray]]:
-    """Pipeline batch -> per-image ground-truth records."""
+    """Pipeline batch -> per-image ground-truth records (crowd flags pass
+    through when the pipeline provides them)."""
     out = []
     b = len(batch["num_objects"])
     for i in range(b):
         n = int(batch["num_objects"][i])
-        out.append({"boxes": np.asarray(batch["bbox"][i][:n], np.float32),
-                    "labels": np.asarray(batch["category_ids"][i][:n])})
+        rec = {"boxes": np.asarray(batch["bbox"][i][:n], np.float32),
+               "labels": np.asarray(batch["category_ids"][i][:n])}
+        if "iscrowd" in batch:
+            rec["iscrowd"] = np.asarray(batch["iscrowd"][i][:n])
+        out.append(rec)
     return out
 
 
 def evaluate_map(trainer, batches) -> Dict[str, float]:
-    """Run the detector over batches and compute COCO mAP."""
+    """Run the detector over batches and compute COCO mAP. Boxes are
+    normalized; area-based metrics use box areas scaled to the model's
+    input resolution so the COCO pixel area ranges apply."""
     preds_all: List[Dict] = []
     gts_all: List[Dict] = []
     for batch in batches:
         preds = trainer.predict(batch["image"], decode_text=False)
         preds_all.extend(detr_predictions_to_eval(preds))
         gts_all.extend(batch_to_ground_truth(batch))
-    return compute_map(preds_all, gts_all)
+    h, w = trainer.model_cfg.image_size
+
+    def scale(recs):
+        s = np.asarray([w, h, w, h], np.float32)
+        return [dict(r, boxes=np.asarray(r["boxes"]) * s) for r in recs]
+
+    return compute_map(scale(preds_all), scale(gts_all))

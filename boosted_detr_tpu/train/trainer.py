@@ -175,6 +175,32 @@ class Trainer:
         self.state = self.state.replace(params=restored["params"],
                                         batch_stats=restored["batch_stats"])
 
+    def load_pretrained_backbone(self, source: str,
+                                 subtree: str = "backbone"):
+        """Import offline pretrained ResNet weights (npz documented layout
+        or torchvision-style state dict; models/pretrained.py) into the live
+        state — the reference's ``weights='imagenet'`` path (reference
+        backbone.py:37-39) without network egress. For DETRPanoptic the
+        backbone lives under the nested detr module."""
+        from boosted_detr_tpu.models import pretrained
+
+        if self._is_panoptic():
+            merged = pretrained.load_pretrained_backbone(
+                {"params": self.state.params["detr"],
+                 "batch_stats": self.state.batch_stats["detr"]}, source,
+                subtree=subtree)
+            params = dict(self.state.params, detr=merged["params"])
+            stats = dict(self.state.batch_stats,
+                         detr=merged["batch_stats"])
+        else:
+            merged = pretrained.load_pretrained_backbone(
+                {"params": self.state.params,
+                 "batch_stats": self.state.batch_stats}, source,
+                subtree=subtree)
+            params, stats = merged["params"], merged["batch_stats"]
+        self.state = self.state.replace(params=params, batch_stats=stats)
+        return self
+
     def restore(self) -> bool:
         if self._ckpt_mgr is None or self._ckpt_mgr.latest_step() is None:
             return False
