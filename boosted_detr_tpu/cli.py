@@ -107,13 +107,24 @@ def _build_model(args, vocab, dataset=None):
 
 
 def cmd_train(args) -> int:
+    feed = {"process_index": 0, "process_count": 1}
+    if getattr(args, "coordinator", None):
+        # multi-host launch: one process per host, same command + unique
+        # --process-id (SURVEY §5.8). batch_size is PER-PROCESS; the global
+        # batch is batch_size * num_processes, sharded over the global mesh.
+        from boosted_detr_tpu.parallel import multiprocess
+
+        multiprocess.initialize(args.coordinator, args.num_processes,
+                                args.process_id)
+        feed = multiprocess.feed_info()
     dataset, df, vocab = _build_data(args)
     model, tcfg = _build_model(args, vocab, dataset)
     pipe = model.make_pipeline(dataset=dataset if args.synthetic else None)
-    sample = next(pipe.batches(df, batch_size=tcfg.batch_size, seed=0))
+    sample = next(pipe.batches(df, batch_size=tcfg.batch_size, seed=0,
+                               **feed))
     model.compile(sample_batch=sample, train_config=tcfg)
     history = model.fit(
-        lambda: pipe.batches(df, batch_size=tcfg.batch_size, seed=0),
+        lambda: pipe.batches(df, batch_size=tcfg.batch_size, seed=0, **feed),
         epochs=args.epochs, log_path=args.log_csv,
         tensorboard_dir=args.tensorboard)
     print(f"final loss: {history['loss'][-1]:.4f}")
@@ -179,6 +190,10 @@ def main(argv=None) -> int:
     t.add_argument("--tensorboard")
     t.add_argument("--eval-map", action="store_true")
     t.add_argument("--save", help="directory to save the whole model")
+    t.add_argument("--coordinator", metavar="HOST:PORT",
+                   help="multi-host: jax.distributed coordinator address")
+    t.add_argument("--num-processes", type=int)
+    t.add_argument("--process-id", type=int)
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("evaluate")

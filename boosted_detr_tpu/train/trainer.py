@@ -224,18 +224,31 @@ class Trainer:
     def _place(self, batch, batch_axis: int = 0):
         """Shard the batch axis over 'data' (``batch_axis=1`` for stacked
         [scan_steps, B, ...] superbatches); falls back to replication when
-        the batch doesn't divide the mesh axis."""
+        the batch doesn't divide the mesh axis. Under multi-process JAX the
+        incoming batch is this host's LOCAL shard (fed by
+        ``Pipeline.batches(process_index=...)``) and is assembled into a
+        global array (SURVEY §5.8)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch = {k: v for k, v in batch.items() if k in self.BATCH_KEYS}
         n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
         b = int(np.shape(batch["image"])[batch_axis])
+        if jax.process_count() > 1:
+            global_b = b * jax.process_count()
+            assert n_data % jax.process_count() == 0 and \
+                global_b % n_data == 0, (
+                    f"local batch {b} x {jax.process_count()} processes "
+                    f"must divide the 'data' axis ({n_data})")
+            spec = P(*([None] * batch_axis + [mesh_lib.DATA_AXIS]))
+            sh = NamedSharding(self.mesh, spec)
+            return {k: jax.make_array_from_process_local_data(
+                sh, np.asarray(v)) for k, v in batch.items()}
         if n_data > 1 and b % n_data == 0:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
             spec = P(*([None] * batch_axis + [mesh_lib.DATA_AXIS]))
             sh = NamedSharding(self.mesh, spec)
         else:
             sh = mesh_lib.replicated(self.mesh)
-        return {k: jax.device_put(v, sh) for k, v in batch.items()
-                if k in self.BATCH_KEYS}
+        return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
     def fit(self, batches: Iterable[Dict[str, np.ndarray]],
             epochs: int = 1, steps_per_epoch: Optional[int] = None,

@@ -1,6 +1,7 @@
 """Profiling utilities + multi-host feed sharding tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -51,3 +52,45 @@ def test_multihost_feed_sharding_partitions_rows():
             seen.extend(b["image_id"].tolist())
     # all rows covered exactly once across hosts
     assert sorted(seen) == sorted(df["id_num"].tolist())
+
+
+@pytest.mark.slow
+def test_two_process_distributed_train_smoke():
+    """SURVEY §5.8 end-to-end: two OS processes, jax.distributed.initialize,
+    a global 4-device CPU mesh, per-process feed striding, and a real CLI
+    training run — losses must agree across processes (same global batch)."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    wrapper = (
+        "import jax, sys; jax.config.update('jax_platforms', 'cpu'); "
+        "from boosted_detr_tpu.cli import main; sys.exit(main(sys.argv[1:]))")
+
+    def worker(pid):
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        return subprocess.Popen(
+            [sys.executable, "-c", wrapper, "train", "--synthetic",
+             "--synthetic-images", "8", "--model", "synthetic-tiny",
+             "--epochs", "2", "--set", "train.batch_size=2",
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid)],
+            cwd="/root/repo", env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+
+    procs = [worker(0), worker(1)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid}:\n{out[-3000:]}"
+    losses = [re.search(r"final loss: ([\d.]+)", out) for out in outs]
+    assert all(losses), outs[0][-1500:]
+    # both controllers executed the same global computation
+    assert losses[0].group(1) == losses[1].group(1)
