@@ -373,6 +373,13 @@ class Trainer:
             n += 1
         return {k: v / max(n, 1) for k, v in sums.items()}
 
+    def export_serving(self, path: str) -> str:
+        """Write a standalone StableHLO serving artifact (weights baked in,
+        symbolic batch, cpu+tpu lowering) — see boosted_detr_tpu.serving."""
+        from boosted_detr_tpu import serving
+
+        return serving.export_serving(self, path)
+
     def export_inference_fn(self):
         """A self-contained compiled inference callable for serving: images
         -> (category_strings, attribute_strings, boxes) via the host codec,
