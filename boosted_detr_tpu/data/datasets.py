@@ -87,7 +87,9 @@ class DatasetLoader:
 def coco_json_to_dataframe(json_path: str, image_dir: str,
                            cache_path: Optional[str] = None,
                            include_segmentation: bool = True,
-                           include_keypoints: bool = True) -> pd.DataFrame:
+                           include_keypoints: bool = True,
+                           captions_json_path: Optional[str] = None
+                           ) -> pd.DataFrame:
     """COCO-format instance JSON -> per-image dataframe (reference
     datasets.py:307-516): string labels, normalized boxes, <PAD>-filled
     attributes, cached to JSON.
@@ -99,7 +101,11 @@ def coco_json_to_dataframe(json_path: str, image_dir: str,
     - ``iscrowd``: per-object 0/1 (RLE crowd regions; the COCO eval protocol
       ignores detections matched to crowds);
     - ``keypoints``: per-object normalized flat [x, y, v, ...] (empty list
-      when absent) and ``num_keypoints``.
+      when absent) and ``num_keypoints``;
+    - ``caption``: per-image list of caption strings merged from a COCO
+      captions annotation file when ``captions_json_path`` is given (the
+      reference merges this column at datasets.py:480-482; its own loader
+      for the captions file was left unfinished, datasets.py:270).
     """
     if cache_path and os.path.exists(cache_path):
         return pd.read_json(cache_path)
@@ -149,6 +155,13 @@ def coco_json_to_dataframe(json_path: str, image_dir: str,
         row["num_boxes"] += 1
 
     df = pd.DataFrame.from_dict(rows, orient="index").reset_index(drop=True)
+    if captions_json_path and os.path.exists(captions_json_path):
+        with open(captions_json_path) as f:
+            cap_info = json.load(f)
+        caps: Dict[int, List[str]] = {}
+        for ann in cap_info.get("annotations", []):
+            caps.setdefault(ann["image_id"], []).append(ann["caption"])
+        df["caption"] = [caps.get(i, []) for i in df["id_num"]]
     if cache_path:
         os.makedirs(os.path.dirname(cache_path), exist_ok=True)
         df.to_json(cache_path)
@@ -173,7 +186,11 @@ class COCOStandard(DatasetLoader):
         image_dir = os.path.join(self.local_base_dir, name)
         cache = os.path.join(self.archive_base_dir,
                              f"{name}_combined_annotations_df.json")
-        self._df = coco_json_to_dataframe(json_path, image_dir, cache)
+        self._df = coco_json_to_dataframe(
+            json_path, image_dir, cache,
+            captions_json_path=os.path.join(self.local_base_dir,
+                                            "annotations",
+                                            f"captions_{name}.json"))
         return self._df
 
     def citation(self) -> str:

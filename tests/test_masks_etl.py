@@ -166,6 +166,21 @@ def test_coco_dataframe_optional_columns(tmp_path):
     assert 0 < kx < 1 and 0 < ky < 1 and kv == 2
 
 
+def test_captions_merge(tmp_path):
+    json_path, img_dir = _write_coco_fixture(tmp_path, n_images=2)
+    cap_path = tmp_path / "captions.json"
+    with open(cap_path, "w") as f:
+        json.dump({"annotations": [
+            {"image_id": 1, "caption": "a triangle and a box"},
+            {"image_id": 1, "caption": "two shapes"},
+        ]}, f)
+    df = coco_json_to_dataframe(json_path, img_dir,
+                                captions_json_path=str(cap_path))
+    assert list(df[df.id_num == 1]["caption"])[0] == [
+        "a triangle and a box", "two shapes"]
+    assert list(df[df.id_num == 2]["caption"])[0] == []
+
+
 def test_pipeline_produces_polygon_masks(tmp_path):
     json_path, img_dir = _write_coco_fixture(tmp_path)
     df = coco_json_to_dataframe(json_path, img_dir)
