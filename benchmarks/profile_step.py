@@ -41,7 +41,8 @@ def run_profiled_steps(batch_size: int, n_steps: int, logdir: str):
 
     cfg = ModelConfig(image_size=(640, 640), backbone="resnet",
                       compute_dtype="bfloat16", max_objects=32,
-                      matcher="pallas")
+                      matcher="pallas", stem=os.environ.get(
+                          "PROFILE_STEM", "patchify"))
     tcfg = TrainConfig(batch_size=batch_size)
     model = DETR(cfg)
     h, w = cfg.image_size

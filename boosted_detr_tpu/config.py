@@ -62,7 +62,11 @@ class ModelConfig:
     classification_only: bool = False
 
     # --- architecture ---
-    backbone: str = "efficientnet_lite"  # efficientnet_lite | resnet | tiny
+    # efficientnet_lite | resnet | tiny | vit[_pP][_dD][_wW][_hH]
+    # ("vit" = pre-LN ViT-Small-ish, dim 384 / 8 blocks / 6 heads / patch 16
+    # — a TPU-first extension with no BatchNorm at any resolution; see
+    # models/backbone.py ViTBackbone and benchmarks/RESULTS.md)
+    backbone: str = "efficientnet_lite"
     backbone_width: float = 1.0
     # ResNet stem: "conv7" = classic 7x7/s2 + 3x3 maxpool; "patchify" =
     # TPU-first 4x4/s4 conv (same stride-4 / 64-ch contract, no maxpool —

@@ -105,7 +105,13 @@ def coco_json_to_dataframe(json_path: str, image_dir: str,
     - ``caption``: per-image list of caption strings merged from a COCO
       captions annotation file when ``captions_json_path`` is given (the
       reference merges this column at datasets.py:480-482; its own loader
-      for the captions file was left unfinished, datasets.py:270).
+      for the captions file was left unfinished, datasets.py:270);
+    - ``area``: per-object raw pixel area (reference datasets.py:431-433) —
+      kept un-normalized because the COCO eval protocol's area-range
+      thresholds (32^2/96^2) are defined in pixels;
+    - ``segments_info`` and DensePose ``dp_I/dp_U/dp_V/dp_x/dp_y/dp_masks``:
+      per-object pass-through columns, emitted only when present in the
+      annotations (reference datasets.py:457-459, :484-493).
     """
     if cache_path and os.path.exists(cache_path):
         return pd.read_json(cache_path)
@@ -117,6 +123,13 @@ def coco_json_to_dataframe(json_path: str, image_dir: str,
     att_names = {a["id"]: a["name"] for a in info.get("attributes", [])}
     images = {im["id"]: im for im in info["images"]}
 
+    # Per-object pass-through columns, emitted only when any annotation
+    # carries the key (reference datasets.py:457-459, :484-493).
+    _PASSTHROUGH = ("segments_info", "dp_I", "dp_U", "dp_V", "dp_x", "dp_y",
+                    "dp_masks")
+    passthrough = [k for k in _PASSTHROUGH
+                   if any(k in ann for ann in info["annotations"])]
+
     rows: Dict[int, Dict] = {}
     for ann in info["annotations"]:
         img = images[ann["image_id"]]
@@ -126,10 +139,12 @@ def coco_json_to_dataframe(json_path: str, image_dir: str,
             "image_path": os.path.join(image_dir, img["file_name"]),
             "width": img["width"], "height": img["height"],
             "num_boxes": 0, "bbox": [], "category": [], "attribute": [],
+            "area": [],
             **({"segmentation": [], "iscrowd": []}
                if include_segmentation else {}),
             **({"keypoints": [], "num_keypoints": []}
                if include_keypoints else {}),
+            **{k: [] for k in passthrough},
         })
         x, y, w, h = ann["bbox"]
         iw, ih = img["width"], img["height"]
@@ -152,6 +167,9 @@ def coco_json_to_dataframe(json_path: str, image_dir: str,
                 [(v / iw if i % 3 == 0 else v / ih if i % 3 == 1 else v)
                  for i, v in enumerate(kps)])
             row["num_keypoints"].append(int(ann.get("num_keypoints", 0)))
+        row["area"].append(float(ann.get("area", w * h)))
+        for k in passthrough:
+            row[k].append(ann.get(k))
         row["num_boxes"] += 1
 
     df = pd.DataFrame.from_dict(rows, orient="index").reset_index(drop=True)

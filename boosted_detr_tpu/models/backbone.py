@@ -25,6 +25,9 @@ from typing import Any, Callable, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from boosted_detr_tpu.models.layers import (MultiheadAttention,
+                                            trig_positional_init)
+
 
 class _AdaptiveGroupNorm(nn.Module):
     """GroupNorm whose group count is the largest divisor of the channel
@@ -204,6 +207,105 @@ class EfficientNetLiteBackbone(nn.Module):
         return x
 
 
+class ViTBlock(nn.Module):
+    """Standard pre-LN transformer block (attention + 4x-GELU MLP).
+
+    Residual stream kept in f32 (cheap at token scale); matmuls run in the
+    compute dtype with f32 softmax/accumulation via MultiheadAttention."""
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+    mlp_ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x):  # x: f32 [B, T, D]
+        d = x.shape[-1]
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln1")(x)
+        h = MultiheadAttention(self.num_heads, dtype=self.dtype,
+                               post_softmax_mask=False, name="attn")(
+                                   h.astype(self.dtype), h.astype(self.dtype),
+                                   h.astype(self.dtype))
+        x = x + h.astype(jnp.float32)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln2")(x)
+        h = nn.Dense(self.mlp_ratio * d, dtype=self.dtype,
+                     name="mlp_in")(h.astype(self.dtype))
+        h = nn.gelu(h)
+        h = nn.Dense(d, dtype=self.dtype, name="mlp_out")(h)
+        return x + h.astype(jnp.float32)
+
+
+class ViTBackbone(nn.Module):
+    """Pre-LN ViT encoder as a stride-32 detection backbone — a TPU-first
+    extension beyond the reference (which offers only CNN backbones,
+    reference backbone.py:28-39).
+
+    Rationale: profiling shows the BN-ResNet flagship is HBM-roofline-bound
+    by stage-1/2 BatchNorm activation traffic at 160x160 (~11.5 ms of a
+    27.8 ms 640px/bs8 step; benchmarks/RESULTS.md), which no amount of
+    scheduling removes. A ViT moves the same capacity into large dense
+    matmuls that run near MXU peak, has no BatchNorm at any resolution, and
+    its patchify embedding touches the 640px input exactly once.
+
+    Standard ViT (Dosovitskiy et al.) with learned positional embeddings
+    (trig-initialized like the DETR encoder's); this component has no
+    reference counterpart to stay bit-faithful to. Output honors the shared
+    stride-32 grid contract: when ``patch < 32`` a strided conv reduces the
+    token grid to (H/32, W/32) with 2x the embedding width (mirroring CNN
+    channel doubling), so the neck and DETR encoder are unchanged."""
+
+    dim: int = 384
+    depth: int = 8
+    num_heads: int = 6
+    patch: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        assert self.dim % self.num_heads == 0, (self.dim, self.num_heads)
+        assert 32 % self.patch == 0, f"patch {self.patch} must divide 32"
+        b = x.shape[0]
+        x = nn.Conv(self.dim, (self.patch, self.patch),
+                    (self.patch, self.patch), padding="VALID",
+                    dtype=self.dtype, name="patch_embed")(x)
+        gh, gw = x.shape[1], x.shape[2]
+        t = gh * gw
+        x = x.reshape(b, t, self.dim).astype(jnp.float32)
+        pos = self.param(
+            "positional_embedding",
+            lambda key, shape: jnp.asarray(trig_positional_init(t, self.dim)),
+            (t, self.dim))
+        x = x + pos[None]
+        for i in range(self.depth):
+            x = ViTBlock(self.num_heads, self.dtype, name=f"block_{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln_final")(x)
+        x = x.reshape(b, gh, gw, self.dim).astype(self.dtype)
+        if self.patch < 32:
+            r = 32 // self.patch
+            x = nn.Conv(2 * self.dim, (r, r), (r, r), padding="VALID",
+                        dtype=self.dtype, name="reduce")(x)
+        return x
+
+
+def parse_vit_spec(backbone: str, width: float) -> Tuple[int, int, int, int]:
+    """Parse a ``vit[_pP][_dD][_wW][_hH]`` backbone string into
+    (dim, depth, heads, patch). Defaults: ViT-Small-ish d384/8 blocks/
+    6 heads/patch 16; ``width`` scales the embedding dim."""
+    dim, depth, heads, patch = 384, 8, 6, 16
+    for tok in backbone.split("_")[1:]:
+        kind, val = tok[0], int(tok[1:])
+        if kind == "p":
+            patch = val
+        elif kind == "d":
+            depth = val
+        elif kind == "w":
+            dim = val
+        elif kind == "h":
+            heads = val
+        else:
+            raise ValueError(f"bad vit spec token '{tok}' in '{backbone}'")
+    return int(dim * width), depth, heads, patch
+
+
 class TinyBackbone(nn.Module):
     """Minimal stride-32 conv stack for tests and the BASELINE config-#1
     'small backbone' slice."""
@@ -263,6 +365,11 @@ class EncoderBackbone(nn.Module):
         elif self.backbone == "tiny":
             net = TinyBackbone(self.width, norm=self.norm, dtype=self.dtype,
                                name="tiny")
+        elif self.backbone.startswith("vit"):
+            dim, depth, heads, patch = parse_vit_spec(self.backbone,
+                                                      self.width)
+            net = ViTBackbone(dim, depth, heads, patch, self.dtype,
+                              name="vit")
         else:
             raise ValueError(f"unknown backbone '{self.backbone}'")
         return net(x, train=train)

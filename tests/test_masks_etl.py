@@ -130,6 +130,8 @@ def _write_coco_fixture(tmp_path, n_images=4, size=64):
             "segmentation": [[x, y, x + w, y, x, y + h]],
             "keypoints": [x + 2, y + 2, 2, 0, 0, 0],
             "num_keypoints": 1,
+            # DensePose pass-through columns (reference datasets.py:484-493)
+            "dp_I": [1.0, 2.0], "dp_U": [0.1, 0.2],
         })
         ann_id += 1
         annotations.append({
@@ -153,9 +155,15 @@ def test_coco_dataframe_optional_columns(tmp_path):
     json_path, img_dir = _write_coco_fixture(tmp_path)
     df = coco_json_to_dataframe(json_path, img_dir)
     assert {"segmentation", "iscrowd", "keypoints",
-            "num_keypoints"} <= set(df.columns)
+            "num_keypoints", "area", "dp_I", "dp_U"} <= set(df.columns)
+    # pass-through columns absent from every annotation are not emitted
+    assert "dp_masks" not in df.columns and "segments_info" not in df.columns
     row = df.iloc[0]
     assert row["num_boxes"] == 2
+    # raw pixel areas (reference keeps them un-normalized, datasets.py:431)
+    assert row["area"] == [24 * 24 / 2, 16 * 12]
+    assert row["dp_I"] == [[1.0, 2.0], None]
+    assert row["dp_U"] == [[0.1, 0.2], None]
     # polygon normalized to [0, 1]
     ring = row["segmentation"][0][0]
     assert max(ring) <= 1.0 and min(ring) >= 0.0

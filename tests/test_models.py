@@ -122,6 +122,61 @@ def test_resnet_patchify_stem_same_contract(rng):
     assert float(aux["loss"]) < 0.9 * first
 
 
+def test_vit_backbone_stride_32_contract_and_spec(rng):
+    """The ViT backbone honors the shared stride-32 grid contract (TPU-first
+    extension; no reference counterpart) and its spec string parses."""
+    from boosted_detr_tpu.models.backbone import parse_vit_spec
+
+    assert parse_vit_spec("vit", 1.0) == (384, 8, 6, 16)
+    assert parse_vit_spec("vit_p32_d2_w64_h2", 1.0) == (64, 2, 2, 32)
+    img = jnp.asarray(rng.uniform(size=(1, 64, 96, 3)).astype(np.float32))
+    for spec, channels in (("vit_d1_w32_h2", 64),  # patch16 + 2x reduce conv
+                           ("vit_p32_d1_w32_h2", 32)):  # direct patch32
+        bb = EncoderBackbone(backbone=spec, width=1.0)
+        variables = bb.init(jax.random.PRNGKey(0), img)
+        out = bb.apply(variables, img)
+        assert out.shape == (1, 2, 3, channels), (spec, out.shape)
+        assert "batch_stats" not in variables  # norm-free by design
+
+
+def test_vit_detr_trains(rng):
+    """DETR with the ViT backbone runs a jitted train step and learns."""
+    import optax  # noqa: F401
+
+    from boosted_detr_tpu.config import TrainConfig
+    from boosted_detr_tpu.train import steps
+
+    cfg = ModelConfig(
+        num_object_preds=8, image_size=(64, 64), num_encoder_blocks=1,
+        num_encoder_heads=2, encoder_dim=16, num_decoder_blocks=2,
+        num_decoder_heads=2, decoder_dim=16, num_categories=6,
+        num_attributes=4, backbone="vit_d2_w32_h2",
+        compute_dtype="float32", max_objects=3, dropout_rate=0.0)
+    tcfg = TrainConfig(optimizer="adamw", learning_rate=1e-3,
+                       lr_schedule="constant", clipnorm=0.0)
+    model = DETR(cfg)
+    batch = {
+        "image": jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)),
+                             jnp.float32),
+        "category_ids": jnp.asarray(rng.integers(2, 6, (2, 3)), jnp.int32),
+        "attribute_ids": jnp.asarray(rng.integers(0, 4, (2, 3, 2)),
+                                     jnp.int32),
+        "bbox": jnp.asarray(rng.uniform(0.1, 0.4, (2, 3, 4)), jnp.float32),
+        "num_objects": jnp.full((2,), 3, jnp.int32),
+    }
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch["image"])
+    tx = steps.make_optimizer(tcfg, d_model=cfg.decoder_dim)
+    state = steps.TrainState.create(variables["params"],
+                                    variables["batch_stats"], tx)
+    step = jax.jit(steps.make_train_step(model, cfg, tcfg))
+    first = None
+    for _ in range(15):
+        state, aux = step(state, batch, jax.random.PRNGKey(1))
+        if first is None:
+            first = float(aux["loss"])
+    assert float(aux["loss"]) < 0.9 * first
+
+
 def test_neck_projects_dim(rng):
     neck = BackboneNeck(encoder_dim=16)
     x = jnp.asarray(rng.normal(size=(2, 3, 3, 64)).astype(np.float32))
