@@ -86,6 +86,14 @@ def bench_throughput(quick: bool):
                                         backbone="resnet",
                                         compute_dtype="bfloat16",
                                         max_objects=32), DETR, 8),
+        ("detr_resnet_patchify_640",  # bench.py flagship (RESULTS.md round 2)
+         ModelConfig(image_size=(640, 640), backbone="resnet",
+                     compute_dtype="bfloat16", max_objects=32,
+                     matcher="pallas", stem="patchify"), DETR, 8),
+        ("detr_vit_640",  # norm-free TPU-first variant
+         ModelConfig(image_size=(640, 640), backbone="vit",
+                     compute_dtype="bfloat16", max_objects=32,
+                     matcher="pallas"), DETR, 8),
         ("detr_resnet_560", ModelConfig(image_size=(560, 560),
                                         backbone="resnet",
                                         compute_dtype="bfloat16",

@@ -216,13 +216,15 @@ class ViTBlock(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     mlp_ratio: int = 4
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):  # x: f32 [B, T, D]
         d = x.shape[-1]
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln1")(x)
         h = MultiheadAttention(self.num_heads, dtype=self.dtype,
-                               post_softmax_mask=False, name="attn")(
+                               post_softmax_mask=False,
+                               use_pallas=self.use_pallas, name="attn")(
                                    h.astype(self.dtype), h.astype(self.dtype),
                                    h.astype(self.dtype))
         x = x + h.astype(jnp.float32)
@@ -258,6 +260,7 @@ class ViTBackbone(nn.Module):
     num_heads: int = 6
     patch: int = 16
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -276,7 +279,8 @@ class ViTBackbone(nn.Module):
             (t, self.dim))
         x = x + pos[None]
         for i in range(self.depth):
-            x = ViTBlock(self.num_heads, self.dtype, name=f"block_{i}")(x)
+            x = ViTBlock(self.num_heads, self.dtype,
+                         use_pallas=self.use_pallas, name=f"block_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln_final")(x)
         x = x.reshape(b, gh, gw, self.dim).astype(self.dtype)
         if self.patch < 32:
@@ -336,6 +340,7 @@ class EncoderBackbone(nn.Module):
     dtype: jnp.dtype = jnp.float32
     stem: str = "conv7"
     preprocessing: str = "scale"
+    use_pallas: bool = False  # fused-attention kernel for ViT blocks
 
     @nn.compact
     def __call__(self, image, *, train: bool = False):
@@ -369,7 +374,7 @@ class EncoderBackbone(nn.Module):
             dim, depth, heads, patch = parse_vit_spec(self.backbone,
                                                       self.width)
             net = ViTBackbone(dim, depth, heads, patch, self.dtype,
-                              name="vit")
+                              use_pallas=self.use_pallas, name="vit")
         else:
             raise ValueError(f"unknown backbone '{self.backbone}'")
         return net(x, train=train)

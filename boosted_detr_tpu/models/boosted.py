@@ -48,7 +48,9 @@ class BoostedDETR(nn.Module):
         n = cfg.num_decoder_blocks
         self.backbone = EncoderBackbone(cfg.backbone, cfg.backbone_width,
                                         cfg.norm, dtype, cfg.stem,
-                                        cfg.preprocessing, name="backbone")
+                                        cfg.preprocessing,
+                                        cfg.use_pallas_attention,
+                                        name="backbone")
         self.neck = BackboneNeck(cfg.encoder_dim, cfg.norm, dtype,
                                  name="neck")
         # one single-block encoder per weak learner (each with its own

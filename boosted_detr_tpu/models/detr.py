@@ -42,7 +42,9 @@ class DETR(nn.Module):
         dtype = jnp.dtype(cfg.compute_dtype)
         self.backbone = EncoderBackbone(cfg.backbone, cfg.backbone_width,
                                         cfg.norm, dtype, cfg.stem,
-                                        cfg.preprocessing, name="backbone")
+                                        cfg.preprocessing,
+                                        cfg.use_pallas_attention,
+                                        name="backbone")
         self.neck = BackboneNeck(cfg.encoder_dim, cfg.norm, dtype,
                                  name="neck")
         self.encoder = layers.ImageEncoder(
