@@ -4,9 +4,14 @@ At the reference's default geometry the encoder self-attention is only
 ~(560/32)^2 = 324 tokens (reference transformers.py:266-275), where plain XLA
 attention is already near-optimal. This kernel is the designed-in scaling
 path (SURVEY §5.7): blockwise over the KV axis with an online softmax, so
-memory stays O(block) instead of O(T^2). Measured on v5e at T=12800, d=64,
-8 heads: 8.7 ms/call (~39 TFLOP/s) vs 25.2 ms for XLA attention — 2.9x.
-Enabled per-model with ``ModelConfig.use_pallas_attention``.
+memory stays O(block) instead of O(T^2). Backward is also kernelized
+(flash-style: dq streamed over kv blocks, dk/dv streamed over query blocks,
+p rebuilt from the forward's saved per-row log-sum-exp). Measured on v5e,
+d=64, bf16, min over content-chained chunks: forward-only T=12800 8.7
+ms/call vs 25.2 XLA (2.9x); fwd+bwd T=12800 18.7 vs 58.1 (3.1x), T=1600
+(ViT-p16 geometry, BH=48) 3.54 vs 6.62 (1.9x). At small token counts
+(T<~1000) XLA attention is faster — keep the default off there. Enabled
+per-model with ``ModelConfig.use_pallas_attention``.
 
 Layout: q/k/v are [BH, T, D] (batch*heads folded); the grid is
 (BH, ceil(Tq/BLOCK_Q)); each program streams KV blocks from VMEM, keeping
@@ -37,8 +42,8 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, t_k: int, scale: float,
-                      n_kv_blocks: int):
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, t_k: int,
+                      scale: float, n_kv_blocks: int):
     q = q_ref[0].astype(jnp.float32) * scale  # [BLOCK_Q, D_pad]
 
     def body(kv_i, carry):
@@ -66,17 +71,18 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, t_k: int, scale: float,
     acc0 = jnp.zeros((BLOCK_Q, d_pad), jnp.float32)
     m0 = jnp.full((BLOCK_Q, 1), _NEG, jnp.float32)
     d0 = jnp.zeros((BLOCK_Q, 1), jnp.float32)
-    acc, _, denom = lax.fori_loop(0, n_kv_blocks, body, (acc0, m0, d0))
+    acc, m_run, denom = lax.fori_loop(0, n_kv_blocks, body, (acc0, m0, d0))
     o_ref[0] = (acc / jnp.maximum(denom, 1e-30)).astype(o_ref.dtype)
+    # log-sum-exp of the scaled logits per query row, lane-replicated to a
+    # [BQ, 128] tile (the Mosaic-friendly per-row-scalar layout); consumed
+    # by the backward kernels to rebuild p without a second online pass.
+    lse = m_run + jnp.log(jnp.maximum(denom, 1e-30))  # [BQ, 1]
+    lse_ref[0] = jnp.broadcast_to(lse, (BLOCK_Q, 128))
 
 
-def _fused_attention_fwd_impl(q: jnp.ndarray, k: jnp.ndarray,
-                              v: jnp.ndarray, interpret: bool) -> jnp.ndarray:
-    """Kernel-backed forward (see fused_attention)."""
+def _pad_qkv(q, k, v):
     bh, t_q, d = q.shape
     t_k = k.shape[1]
-    scale = 1.0 / float(d) ** 0.5
-
     d_pad = _round_up(d, 128)
     tq_pad = _round_up(t_q, BLOCK_Q)
     tk_pad = _round_up(t_k, BLOCK_K)
@@ -85,12 +91,25 @@ def _fused_attention_fwd_impl(q: jnp.ndarray, k: jnp.ndarray,
         return jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]),
                            (0, d_pad - d)))
 
-    qp, kp, vp = pad(q, tq_pad), pad(k, tk_pad), pad(v, tk_pad)
+    return pad(q, tq_pad), pad(k, tk_pad), pad(v, tk_pad)
+
+
+def _fused_attention_fwd_impl(q: jnp.ndarray, k: jnp.ndarray,
+                              v: jnp.ndarray, interpret: bool):
+    """Kernel-backed forward (see fused_attention). Returns (out, lse) with
+    lse the per-query log-sum-exp, lane-replicated [BH, Tq_pad, 128] f32."""
+    bh, t_q, d = q.shape
+    t_k = k.shape[1]
+    scale = 1.0 / float(d) ** 0.5
+    d_pad = _round_up(d, 128)
+    tq_pad = _round_up(t_q, BLOCK_Q)
+    tk_pad = _round_up(t_k, BLOCK_K)
+    qp, kp, vp = _pad_qkv(q, k, v)
     n_kv_blocks = tk_pad // BLOCK_K
 
     kernel = functools.partial(_attention_kernel, t_k=t_k, scale=scale,
                                n_kv_blocks=n_kv_blocks)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=(bh, tq_pad // BLOCK_Q),
         in_specs=[
@@ -101,42 +120,174 @@ def _fused_attention_fwd_impl(q: jnp.ndarray, k: jnp.ndarray,
             pl.BlockSpec((1, tk_pad, d_pad), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, 128), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((bh, tq_pad, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :t_q, :d], lse
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, *,
+               t_k: int, scale: float, n_kv_blocks: int):
+    """dq for one query block: stream kv blocks, rebuild p from lse,
+    ds = p * (dO V^T - delta), dq = scale * ds K."""
+    qs = q_ref[0].astype(jnp.float32) * scale  # [BQ, D]
+    g = g_ref[0].astype(jnp.float32)  # [BQ, D]
+    lse = lse_ref[0][:, :1]  # [BQ, 1]
+    delta = delta_ref[0][:, :1]  # [BQ, 1]
+
+    def body(kv_i, acc):
+        k_blk = k_ref[0, pl.ds(kv_i * BLOCK_K, BLOCK_K), :].astype(
+            jnp.float32)
+        v_blk = v_ref[0, pl.ds(kv_i * BLOCK_K, BLOCK_K), :].astype(
+            jnp.float32)
+        logits = jnp.dot(qs, k_blk.T, preferred_element_type=jnp.float32)
+        kv_ids = kv_i * BLOCK_K + lax.broadcasted_iota(
+            jnp.int32, (1, BLOCK_K), 1)
+        logits = jnp.where(kv_ids < t_k, logits, _NEG)
+        p = jnp.exp(logits - lse)  # [BQ, BK]
+        dp = jnp.dot(g, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return acc + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+
+    acc0 = jnp.zeros(qs.shape, jnp.float32)
+    acc = lax.fori_loop(0, n_kv_blocks, body, acc0)
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _dkdv_kernel(k_ref, v_ref, q_ref, g_ref, lse_ref, delta_ref, dk_ref,
+                 dv_ref, *, t_q: int, scale: float, n_q_blocks: int):
+    """dk/dv for one kv block: stream query blocks; contractions over the
+    query axis use dot_general on dim 0 so no in-kernel transposes are
+    materialized. Query rows >= t_q (zero padding) are masked out of p."""
+    k_blk = k_ref[0].astype(jnp.float32)  # [BK, D]
+    v_blk = v_ref[0].astype(jnp.float32)  # [BK, D]
+    contract_q = (((0,), (0,)), ((), ()))  # "qk,qd->kd"
+
+    def body(q_i, carry):
+        dk_acc, dv_acc = carry
+        qs = q_ref[0, pl.ds(q_i * BLOCK_Q, BLOCK_Q), :].astype(
+            jnp.float32) * scale  # [BQ, D]
+        g = g_ref[0, pl.ds(q_i * BLOCK_Q, BLOCK_Q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(q_i * BLOCK_Q, BLOCK_Q), :1]  # [BQ, 1]
+        delta = delta_ref[0, pl.ds(q_i * BLOCK_Q, BLOCK_Q), :1]
+        logits = jnp.dot(qs, k_blk.T, preferred_element_type=jnp.float32)
+        p = jnp.exp(logits - lse)  # [BQ, BK]
+        q_ids = q_i * BLOCK_Q + lax.broadcasted_iota(
+            jnp.int32, (BLOCK_Q, 1), 0)
+        p = jnp.where(q_ids < t_q, p, 0.0)
+        dv_acc = dv_acc + lax.dot_general(
+            p, g, contract_q, preferred_element_type=jnp.float32)
+        dp = jnp.dot(g, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        # accumulating against the pre-scaled q folds in dk's scale factor
+        dk_acc = dk_acc + lax.dot_general(
+            ds, qs, contract_q, preferred_element_type=jnp.float32)
+        return dk_acc, dv_acc
+
+    zeros = jnp.zeros(k_blk.shape, jnp.float32)
+    dk_acc, dv_acc = lax.fori_loop(0, n_q_blocks, body, (zeros, zeros))
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _fused_attention_bwd_impl(q, k, v, o, lse, g, interpret: bool):
+    """Flash-style backward: two Pallas kernels (dq over query blocks;
+    dk/dv over kv blocks) rebuilding p from the forward's saved lse;
+    delta = rowsum(dO * O) is one cheap XLA pass."""
+    bh, t_q, d = q.shape
+    t_k = k.shape[1]
+    scale = 1.0 / float(d) ** 0.5
+    d_pad = _round_up(d, 128)
+    tq_pad = _round_up(t_q, BLOCK_Q)
+    tk_pad = _round_up(t_k, BLOCK_K)
+    qp, kp, vp = _pad_qkv(q, k, v)
+    gp = jnp.pad(g, ((0, 0), (0, tq_pad - t_q), (0, d_pad - d)))
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.pad(delta, ((0, 0), (0, tq_pad - t_q)))
+    delta = jnp.broadcast_to(delta[:, :, None], (bh, tq_pad, 128))
+    n_kv_blocks = tk_pad // BLOCK_K
+    n_q_blocks = tq_pad // BLOCK_Q
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, t_k=t_k, scale=scale,
+                          n_kv_blocks=n_kv_blocks),
+        grid=(bh, n_q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, d_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, d_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, 128), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, 128), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((1, BLOCK_Q, d_pad), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d_pad), q.dtype),
         interpret=interpret,
-    )(qp, kp, vp)
-    return out[:, :t_q, :d]
+    )(qp, kp, vp, gp, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkdv_kernel, t_q=t_q, scale=scale,
+                          n_q_blocks=n_q_blocks),
+        grid=(bh, n_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_K, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_K, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq_pad, d_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq_pad, d_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq_pad, 128), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq_pad, 128), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_K, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_K, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tk_pad, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((bh, tk_pad, d_pad), v.dtype),
+        ],
+        interpret=interpret,
+    )(kp, vp, qp, gp, lse, delta)
+    return (dq[:, :t_q, :d], dk[:, :t_k, :d], dv[:, :t_k, :d])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _fused_attention(q, k, v, interpret):
-    return _fused_attention_fwd_impl(q, k, v, interpret)
+    out, _ = _fused_attention_fwd_impl(q, k, v, interpret)
+    return out
 
 
 def _fwd(q, k, v, interpret):
-    return _fused_attention_fwd_impl(q, k, v, interpret), (q, k, v)
+    out, lse = _fused_attention_fwd_impl(q, k, v, interpret)
+    return out, (q, k, v, out, lse)
 
 
 def _bwd(interpret, residuals, g):
-    """Exact attention backward in plain XLA (recompute-from-inputs; the
-    standard softmax-attention VJP). A fused backward kernel is future work —
-    this keeps gradients correct while the forward uses the kernel."""
-    q, k, v = residuals
-    d = q.shape[-1]
-    scale = 1.0 / float(d) ** 0.5
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    gf = g.astype(jnp.float32)
-    logits = jnp.einsum("btd,bsd->bts", qf, kf) * scale
-    p = jax.nn.softmax(logits, axis=-1)
-    dv = jnp.einsum("bts,btd->bsd", p, gf)
-    dp = jnp.einsum("btd,bsd->bts", gf, vf)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bts,bsd->btd", ds, kf) * scale
-    dk = jnp.einsum("bts,btd->bsd", ds, qf) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    q, k, v, o, lse = residuals
+    return _fused_attention_bwd_impl(q, k, v, o, lse, g, interpret)
 
 
 _fused_attention.defvjp(_fwd, _bwd)
@@ -146,7 +297,9 @@ _fused_attention.defvjp(_fwd, _bwd)
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     interpret: bool = False) -> jnp.ndarray:
     """Softmax(q k^T / sqrt(d)) v with blockwise online softmax (Pallas
-    forward kernel + exact custom-VJP backward).
+    forward kernel + flash-style Pallas backward kernels: dq streamed over
+    kv blocks, dk/dv streamed over query blocks, p rebuilt from the saved
+    per-row log-sum-exp — exact gradients, O(block) memory end to end).
 
     Args:
       q: [BH, Tq, D]; k, v: [BH, Tk, D] (any float dtype; f32 accumulation).

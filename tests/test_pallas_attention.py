@@ -71,3 +71,47 @@ def test_fused_attention_gradients_match_reference(rng):
     for a, b in zip(g_fused, g_ref):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-3), \
             np.abs(np.asarray(a) - np.asarray(b)).max()
+
+
+@pytest.mark.parametrize("tq,tk,d", [(300, 520, 64),  # straddles both blocks
+                                     (256, 512, 128),  # exact block multiples
+                                     (17, 1000, 32)])  # tiny q, padded d
+def test_flash_backward_kernels_padded_shapes(rng, tq, tk, d):
+    """The Pallas backward (dq + dk/dv kernels rebuilding p from lse) must
+    mask padded query rows and kv columns exactly at non-block-multiple
+    shapes."""
+    q = jnp.asarray(rng.normal(size=(2, tq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, tk, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, tk, d)).astype(np.float32))
+    co = jnp.asarray(rng.normal(size=(2, tq, d)).astype(np.float32))
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, interpret=True) * co)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v) * co)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_fused, g_ref):
+        err = np.abs(np.asarray(a) - np.asarray(b)).max()
+        assert err < 2e-3, (name, err)
+
+
+def test_flash_backward_bf16(rng):
+    """bf16 inputs: gradients come back in bf16 and close to the f32 path."""
+    q = jnp.asarray(rng.normal(size=(2, 40, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 70, 64)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 70, 64)).astype(np.float32))
+
+    def loss(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, interpret=True) ** 2)
+
+    g32 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    g16 = jax.grad(loss, argnums=(0, 1, 2))(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16))
+    for a, b in zip(g16, g32):
+        assert a.dtype == jnp.bfloat16
+        assert np.allclose(np.asarray(a, np.float32), np.asarray(b),
+                           atol=0.15, rtol=0.1)
