@@ -72,7 +72,9 @@ class ModelConfig:
     # TPU-first 4x4/s4 conv (same stride-4 / 64-ch contract, no maxpool —
     # profiling shows the classic stem cluster costs ~6 ms of a 32 ms
     # 640px train step on v5e; see benchmarks/RESULTS.md)
-    stem: str = "conv7"
+    # "patchify8" = 8x8/s8 conv, skipping the stride-4 stage entirely (the
+    # HBM-roofline-bound one); same stride-32 output contract.
+    stem: str = "conv7"  # conv7 | patchify | patchify8
     # Input preprocessing parity (images arrive in [0,1]): "scale" = [-1,1]
     # (from-scratch default); "imagenet" = torch RGB mean/std; "caffe" =
     # Keras resnet.preprocess_input parity (RGB->BGR, channel means;

@@ -111,7 +111,15 @@ class ResNetBackbone(nn.Module):
     needs a layout copy), and the maxpool's backward is a select-and-scatter
     — together ~6 ms of a 32 ms 640px/bs8 train step. The patchify stem's
     conv is 12x fewer FLOPs, needs no pool, and halves the 320x320
-    intermediate traffic (ConvNeXt showed patchify stems match quality)."""
+    intermediate traffic (ConvNeXt showed patchify stems match quality).
+
+    ``stem='patchify8'`` goes one step further: an 8x8/s8 conv to w(128)
+    channels followed by stages (4, 6, 3) at strides (1, 2, 2) and widths
+    (512, 1024, 2048) — i.e. the highest-resolution stage starts at H/8,
+    skipping the stride-4 stage whose BatchNorm activation traffic is the
+    flagship's HBM-roofline bound (~11.5 ms of a 27.8 ms 640px/bs8 step at
+    160x160; benchmarks/RESULTS.md). Output contract unchanged (stride 32,
+    w(2048) channels)."""
 
     width: float = 1.0
     depths: Sequence[int] = (3, 4, 6, 3)
@@ -122,6 +130,17 @@ class ResNetBackbone(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         w = lambda c: max(32, int(c * self.width))  # noqa: E731
+        if self.stem == "patchify8":
+            x = ConvNormAct(w(128), (8, 8), (8, 8), norm=self.norm,
+                            dtype=self.dtype, name="stem")(x, train=train)
+            stages = zip(self.depths[1:], (w(512), w(1024), w(2048)))
+            for stage, (depth, feats) in enumerate(stages, start=1):
+                for i in range(depth):
+                    strides = (2, 2) if (i == 0 and stage > 1) else (1, 1)
+                    x = BottleneckBlock(feats, strides, self.norm, self.dtype,
+                                        name=f"stage{stage}_block{i}")(
+                                            x, train=train)
+            return x
         if self.stem == "patchify":
             # (an explicit space-to-depth + 1x1-conv form measured the same:
             # the s2d transpose costs what the conv's layout copy costs)

@@ -199,10 +199,17 @@ def _dkdv_kernel(k_ref, v_ref, q_ref, g_ref, lse_ref, delta_ref, dk_ref,
     dv_ref[0] = dv_acc.astype(dv_ref.dtype)
 
 
-def _fused_attention_bwd_impl(q, k, v, o, lse, g, interpret: bool):
+def _fused_attention_bwd_impl(q, k, v, o, lse, g, interpret: bool,
+                              g_lse=None):
     """Flash-style backward: two Pallas kernels (dq over query blocks;
     dk/dv over kv blocks) rebuilding p from the forward's saved lse;
-    delta = rowsum(dO * O) is one cheap XLA pass."""
+    delta = rowsum(dO * O) is one cheap XLA pass.
+
+    ``g_lse`` ([BH, Tq] f32 or None) is the cotangent of the per-row
+    log-sum-exp when the caller consumes it (fused_attention_with_lse).
+    Since d lse / d logits = p, its whole contribution is
+    ds += g_lse * p = p * (-(-g_lse)) — i.e. it folds into delta as
+    ``delta - g_lse`` with no kernel changes."""
     bh, t_q, d = q.shape
     t_k = k.shape[1]
     scale = 1.0 / float(d) ** 0.5
@@ -212,6 +219,8 @@ def _fused_attention_bwd_impl(q, k, v, o, lse, g, interpret: bool):
     qp, kp, vp = _pad_qkv(q, k, v)
     gp = jnp.pad(g, ((0, 0), (0, tq_pad - t_q), (0, d_pad - d)))
     delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    if g_lse is not None:
+        delta = delta - g_lse.astype(jnp.float32)
     delta = jnp.pad(delta, ((0, 0), (0, tq_pad - t_q)))
     delta = jnp.broadcast_to(delta[:, :, None], (bh, tq_pad, 128))
     n_kv_blocks = tk_pad // BLOCK_K
@@ -291,6 +300,39 @@ def _bwd(interpret, residuals, g):
 
 
 _fused_attention.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_attention_with_lse(q, k, v, interpret):
+    out, lse = _fused_attention_fwd_impl(q, k, v, interpret)
+    return out, lse[:, :q.shape[1], 0]
+
+
+def _fwd_with_lse(q, k, v, interpret):
+    out, lse = _fused_attention_fwd_impl(q, k, v, interpret)
+    return (out, lse[:, :q.shape[1], 0]), (q, k, v, out, lse)
+
+
+def _bwd_with_lse(interpret, residuals, cotangents):
+    q, k, v, o, lse = residuals
+    g, g_lse = cotangents
+    return _fused_attention_bwd_impl(q, k, v, o, lse, g, interpret,
+                                     g_lse=g_lse)
+
+
+_fused_attention_with_lse.defvjp(_fwd_with_lse, _bwd_with_lse)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_attention_with_lse(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                             interpret: bool = False):
+    """Like fused_attention, but also returns the per-query-row log-sum-exp
+    of the scaled logits ([BH, Tq] f32). The pair (out, lse) is exactly what
+    an *exact* cross-shard softmax merge needs (parallel/context_parallel.py
+    uses it to run the kernel per KV shard and combine over the mesh), and
+    both outputs are differentiable: the lse cotangent folds into the flash
+    backward's delta term."""
+    return _fused_attention_with_lse(q, k, v, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

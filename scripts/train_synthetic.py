@@ -23,6 +23,9 @@ def main():
     parser.add_argument("--backbone", default="tiny",
                         help="backbone spec (tiny | resnet | "
                              "efficientnet_lite | vit[_pP_dD_wW_hH])")
+    parser.add_argument("--stem", default="conv7",
+                        help="resnet stem: conv7 | patchify | patchify8")
+    parser.add_argument("--backbone-width", type=float, default=1.0)
     args = parser.parse_args()
 
     if args.cpu:
@@ -42,7 +45,8 @@ def main():
         vocab_dict=ds.get_vocab(), num_object_preds=12, image_size=(64, 64),
         num_encoder_blocks=2, num_encoder_heads=4, encoder_dim=64,
         num_decoder_blocks=2, num_decoder_heads=4, decoder_dim=64,
-        backbone=args.backbone, backbone_width=1.0, compute_dtype="float32",
+        backbone=args.backbone, backbone_width=args.backbone_width,
+        stem=args.stem, compute_dtype="float32",
         max_objects=4, dropout_rate=0.0)
     pipe = model.make_pipeline(dataset=ds)
     sample = next(pipe.batches(df, batch_size=args.batch_size, seed=0))

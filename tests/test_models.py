@@ -84,11 +84,13 @@ def test_resnet_patchify_stem_same_contract(rng):
 
     img = jnp.asarray(rng.uniform(size=(2, 64, 96, 3)).astype(np.float32))
     outs = {}
-    for stem in ("conv7", "patchify"):
+    for stem in ("conv7", "patchify", "patchify8"):
         bb = EncoderBackbone(backbone="resnet", width=0.25, stem=stem)
         variables = bb.init(jax.random.PRNGKey(0), img)
         outs[stem] = bb.apply(variables, img)
     assert outs["conv7"].shape == outs["patchify"].shape
+    # patchify8 skips the stride-4 stage but keeps the output contract
+    assert outs["conv7"].shape == outs["patchify8"].shape
 
     cfg = ModelConfig(
         num_object_preds=8, image_size=(64, 64), num_encoder_blocks=1,
