@@ -41,7 +41,12 @@ def main():
     cfg = ModelConfig(image_size=(640, 640), backbone="resnet",
                       compute_dtype="bfloat16", max_objects=32,
                       matcher="pallas",  # fastest exact solver on TPU
-                      stem="patchify")  # TPU-first stem (RESULTS.md round 2)
+                      # TPU-first stem: 8x8/s8 patchify entering at 80x80,
+                      # designing out the 160px BatchNorm HBM roofline that
+                      # bounded the 4x4/s4 stem at 28.4 ms/step. Quality
+                      # checked on synthetic shapes: mAP50 0.901 vs 0.909,
+                      # mAP 0.517 vs 0.301 (better) — benchmarks/RESULTS.md.
+                      stem="patchify8")
     tcfg = TrainConfig(batch_size=batch_size)
     model = DETR(cfg)
 

@@ -90,6 +90,10 @@ def bench_throughput(quick: bool):
          ModelConfig(image_size=(640, 640), backbone="resnet",
                      compute_dtype="bfloat16", max_objects=32,
                      matcher="pallas", stem="patchify"), DETR, 8),
+        ("detr_resnet_patchify8_640",  # skips the 160px stage (RESULTS.md)
+         ModelConfig(image_size=(640, 640), backbone="resnet",
+                     compute_dtype="bfloat16", max_objects=32,
+                     matcher="pallas", stem="patchify8"), DETR, 8),
         ("detr_vit_640",  # norm-free TPU-first variant
          ModelConfig(image_size=(640, 640), backbone="vit",
                      compute_dtype="bfloat16", max_objects=32,
@@ -106,6 +110,10 @@ def bench_throughput(quick: bool):
                                            backbone="resnet",
                                            compute_dtype="bfloat16",
                                            max_objects=32), BoostedDETR, 8),
+        ("boosted_resnet_patchify8_640",  # boosted on the flagship stem
+         ModelConfig(image_size=(640, 640), backbone="resnet",
+                     compute_dtype="bfloat16", max_objects=32,
+                     matcher="pallas", stem="patchify8"), BoostedDETR, 8),
     ]
     if quick:
         configs = configs[:1]

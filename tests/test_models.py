@@ -73,9 +73,9 @@ def test_backbone_stride_32(rng):
 
 
 def test_resnet_patchify_stem_same_contract(rng):
-    """The TPU-first patchify stem (bench flagship) keeps the conv7 stem's
-    output contract: stride 32 overall, same channel count — and trains
-    (loss decreases on a fixed batch)."""
+    """The TPU-first patchify stems keep the conv7 stem's output contract
+    (stride 32 overall, same channel count) and the patchify8 bench
+    flagship trains (loss decreases on a fixed batch)."""
     import optax
 
     from boosted_detr_tpu.config import ModelConfig, TrainConfig
@@ -97,7 +97,7 @@ def test_resnet_patchify_stem_same_contract(rng):
         num_encoder_heads=2, encoder_dim=16, num_decoder_blocks=2,
         num_decoder_heads=2, decoder_dim=16, num_categories=6,
         num_attributes=4, backbone="resnet", backbone_width=0.25,
-        stem="patchify", compute_dtype="float32", max_objects=3,
+        stem="patchify8", compute_dtype="float32", max_objects=3,
         dropout_rate=0.0)
     tcfg = TrainConfig(optimizer="adamw", learning_rate=1e-3,
                        lr_schedule="constant", clipnorm=0.0)
