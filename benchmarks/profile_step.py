@@ -42,7 +42,7 @@ def run_profiled_steps(batch_size: int, n_steps: int, logdir: str):
     cfg = ModelConfig(image_size=(640, 640), backbone="resnet",
                       compute_dtype="bfloat16", max_objects=32,
                       matcher="pallas", stem=os.environ.get(
-                          "PROFILE_STEM", "patchify"))
+                          "PROFILE_STEM", "patchify8"))  # bench.py flagship
     tcfg = TrainConfig(batch_size=batch_size)
     model = DETR(cfg)
     h, w = cfg.image_size

@@ -127,8 +127,10 @@ def coco_json_to_dataframe(json_path: str, image_dir: str,
     # carries the key (reference datasets.py:457-459, :484-493).
     _PASSTHROUGH = ("segments_info", "dp_I", "dp_U", "dp_V", "dp_x", "dp_y",
                     "dp_masks")
-    passthrough = [k for k in _PASSTHROUGH
-                   if any(k in ann for ann in info["annotations"])]
+    seen_keys = set()
+    for ann in info["annotations"]:
+        seen_keys.update(ann.keys())
+    passthrough = [k for k in _PASSTHROUGH if k in seen_keys]
 
     rows: Dict[int, Dict] = {}
     for ann in info["annotations"]:

@@ -315,6 +315,9 @@ def parse_vit_spec(backbone: str, width: float) -> Tuple[int, int, int, int]:
     6 heads/patch 16; ``width`` scales the embedding dim."""
     dim, depth, heads, patch = 384, 8, 6, 16
     for tok in backbone.split("_")[1:]:
+        if len(tok) < 2 or tok[0] not in "pdwh" or not tok[1:].isdigit():
+            raise ValueError(f"bad vit spec token '{tok}' in '{backbone}' "
+                             "(expected p<patch>/d<depth>/w<dim>/h<heads>)")
         kind, val = tok[0], int(tok[1:])
         if kind == "p":
             patch = val
@@ -322,10 +325,8 @@ def parse_vit_spec(backbone: str, width: float) -> Tuple[int, int, int, int]:
             depth = val
         elif kind == "w":
             dim = val
-        elif kind == "h":
-            heads = val
         else:
-            raise ValueError(f"bad vit spec token '{tok}' in '{backbone}'")
+            heads = val
     return int(dim * width), depth, heads, patch
 
 
@@ -389,7 +390,9 @@ class EncoderBackbone(nn.Module):
         elif self.backbone == "tiny":
             net = TinyBackbone(self.width, norm=self.norm, dtype=self.dtype,
                                name="tiny")
-        elif self.backbone.startswith("vit"):
+        elif self.backbone == "vit" or self.backbone.startswith("vit_"):
+            # (exact-prefix match: a typo like "vitp32" must error below,
+            # not silently train the default ViT)
             dim, depth, heads, patch = parse_vit_spec(self.backbone,
                                                       self.width)
             net = ViTBackbone(dim, depth, heads, patch, self.dtype,

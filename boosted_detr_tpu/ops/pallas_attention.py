@@ -205,6 +205,9 @@ def _fused_attention_bwd_impl(q, k, v, o, lse, g, interpret: bool,
     dk/dv over kv blocks) rebuilding p from the forward's saved lse;
     delta = rowsum(dO * O) is one cheap XLA pass.
 
+    ``lse`` arrives as the single-lane residual [BH, Tq_pad, 1] and is
+    re-broadcast to the kernels' [.., 128] tile layout here.
+
     ``g_lse`` ([BH, Tq] f32 or None) is the cotangent of the per-row
     log-sum-exp when the caller consumes it (fused_attention_with_lse).
     Since d lse / d logits = p, its whole contribution is
@@ -223,6 +226,7 @@ def _fused_attention_bwd_impl(q, k, v, o, lse, g, interpret: bool,
         delta = delta - g_lse.astype(jnp.float32)
     delta = jnp.pad(delta, ((0, 0), (0, tq_pad - t_q)))
     delta = jnp.broadcast_to(delta[:, :, None], (bh, tq_pad, 128))
+    lse = jnp.broadcast_to(lse, (bh, tq_pad, 128))
     n_kv_blocks = tk_pad // BLOCK_K
     n_q_blocks = tq_pad // BLOCK_Q
 
@@ -291,7 +295,10 @@ def _fused_attention(q, k, v, interpret):
 
 def _fwd(q, k, v, interpret):
     out, lse = _fused_attention_fwd_impl(q, k, v, interpret)
-    return out, (q, k, v, out, lse)
+    # keep ONE lane of the lane-replicated lse tile as the residual: holding
+    # the full [BH, Tq_pad, 128] between forward and backward would cost
+    # 128x the HBM (e.g. ~314 MB live residuals for the ViT-p16 flagship)
+    return out, (q, k, v, out, lse[:, :, :1])
 
 
 def _bwd(interpret, residuals, g):
@@ -310,7 +317,7 @@ def _fused_attention_with_lse(q, k, v, interpret):
 
 def _fwd_with_lse(q, k, v, interpret):
     out, lse = _fused_attention_fwd_impl(q, k, v, interpret)
-    return (out, lse[:, :q.shape[1], 0]), (q, k, v, out, lse)
+    return (out, lse[:, :q.shape[1], 0]), (q, k, v, out, lse[:, :, :1])
 
 
 def _bwd_with_lse(interpret, residuals, cotangents):

@@ -295,20 +295,27 @@ def batch_to_ground_truth(batch: Dict[str, np.ndarray]
     return out
 
 
-def evaluate_map(trainer, batches) -> Dict[str, float]:
-    """Run the detector over batches and compute COCO mAP. Boxes are
-    normalized; area-based metrics use box areas scaled to the model's
-    input resolution so the COCO pixel area ranges apply."""
+def evaluate_map_fn(predict_fn, batches,
+                    image_size) -> Dict[str, float]:
+    """Run ``predict_fn(image) -> {"category", "boxes", ...}`` over batches
+    and compute COCO mAP. Boxes are normalized; area-based metrics use box
+    areas scaled to ``image_size`` so the COCO pixel area ranges apply."""
     preds_all: List[Dict] = []
     gts_all: List[Dict] = []
     for batch in batches:
-        preds = trainer.predict(batch["image"], decode_text=False)
-        preds_all.extend(detr_predictions_to_eval(preds))
+        preds_all.extend(detr_predictions_to_eval(predict_fn(batch["image"])))
         gts_all.extend(batch_to_ground_truth(batch))
-    h, w = trainer.model_cfg.image_size
+    h, w = image_size
 
     def scale(recs):
         s = np.asarray([w, h, w, h], np.float32)
         return [dict(r, boxes=np.asarray(r["boxes"]) * s) for r in recs]
 
     return compute_map(scale(preds_all), scale(gts_all))
+
+
+def evaluate_map(trainer, batches) -> Dict[str, float]:
+    """evaluate_map_fn driven by a Trainer (the standard entry point)."""
+    return evaluate_map_fn(
+        lambda image: trainer.predict(image, decode_text=False), batches,
+        trainer.model_cfg.image_size)

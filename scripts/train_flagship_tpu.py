@@ -32,6 +32,9 @@ def main():
     parser.add_argument("--lr2", type=float, default=None,
                         help="second-phase (fine-tune) learning rate")
     parser.add_argument("--steps2", type=int, default=0)
+    parser.add_argument("--chunk", type=int, default=2000,
+                        help="max steps per dispatch (keep each dispatch "
+                             "under ~60s or the tunnel worker crashes)")
     args = parser.parse_args()
 
     import jax
@@ -81,15 +84,18 @@ def main():
     # NOTE: the data stack is an ARGUMENT, not a closure — closed-over
     # constants are baked into the serialized HLO, and the axon tunnel's
     # remote-compile endpoint rejects the ~300 MB payload (HTTP 413).
-    @functools.partial(jax.jit, static_argnums=2)
-    def run(state, data, n):
+    # ``offset`` is the global step index of the chunk's first step, so RNG
+    # streams and batch cycling continue seamlessly across dispatches.
+    @functools.partial(jax.jit, static_argnums=3)
+    def run(state, data, offset, n):
         def body(carry, i):
             st, _ = carry
-            batch = {k: jax.lax.dynamic_index_in_dim(v, i % n_b, axis=0,
+            step = offset + i
+            batch = {k: jax.lax.dynamic_index_in_dim(v, step % n_b, axis=0,
                                                      keepdims=False)
                      for k, v in data.items()}
             st, aux = train_step(st, batch, jax.random.fold_in(
-                jax.random.PRNGKey(0), i))
+                jax.random.PRNGKey(0), step))
             return (st, aux["loss"]), aux["loss"]
 
         (state, _), losses = jax.lax.scan(body, (state, jnp.float32(0)),
@@ -98,15 +104,23 @@ def main():
 
     # Chunk the scan: a single >~60s dispatch can crash the tunnel's TPU
     # worker (observed at 8000 steps / ~137s), so cap each dispatch.
-    chunk = 2000
-    t0 = time.time()
+    chunk = args.chunk
     parts = []
-    done = 0
-    while done < args.steps:
-        n = min(chunk, args.steps - done)
-        state, part = run(state, stacked, n)
-        parts.append(np.asarray(part))
-        done += n
+    total_done = 0
+
+    def run_phase(state, n_steps):
+        nonlocal total_done
+        done = 0
+        while done < n_steps:
+            n = min(chunk, n_steps - done)
+            state, part = run(state, stacked, jnp.int32(total_done), n)
+            parts.append(np.asarray(part))
+            done += n
+            total_done += n
+        return state
+
+    t0 = time.time()
+    state = run_phase(state, args.steps)
     if args.lr2 and args.steps2:
         # fine-tune phase: fresh optimizer at the lower rate (adamw moments
         # reset — fine for an overfit drive)
@@ -114,12 +128,7 @@ def main():
         state = steps.TrainState.create(
             state.params, state.batch_stats,
             steps.make_optimizer(tcfg2, d_model=cfg.decoder_dim))
-        done = 0
-        while done < args.steps2:
-            n = min(chunk, args.steps2 - done)
-            state, part = run(state, stacked, n)
-            parts.append(np.asarray(part))
-            done += n
+        state = run_phase(state, args.steps2)
     losses = np.concatenate(parts)
     dt = time.time() - t0
     marks = [losses[int(f * (len(losses) - 1))]
@@ -128,16 +137,11 @@ def main():
           + " -> ".join(f"{m:.1f}" for m in marks))
 
     predict = jax.jit(steps.make_predict_step(model))
-    preds_all, gts_all = [], []
-    for i in range(n_b):
-        batch = {k: np.asarray(v[i]) for k, v in stacked.items()}
-        preds = jax.tree.map(np.asarray, predict(state, batch["image"]))
-        preds_all.extend(metrics_lib.detr_predictions_to_eval(preds))
-        gts_all.extend(metrics_lib.batch_to_ground_truth(batch))
-    s = np.asarray([640, 640, 640, 640], np.float32)
-    scale = lambda recs: [dict(r, boxes=np.asarray(r["boxes"]) * s)  # noqa
-                          for r in recs]
-    result = metrics_lib.compute_map(scale(preds_all), scale(gts_all))
+    result = metrics_lib.evaluate_map_fn(
+        lambda image: jax.tree.map(np.asarray, predict(state, image)),
+        ({k: np.asarray(v[i]) for k, v in stacked.items()}
+         for i in range(n_b)),
+        cfg.image_size)
     print(f"mAP: {result['mAP']:.3f}  mAP50: {result['mAP50']:.3f}  "
           f"mAP75: {result['mAP75']:.3f}")
     return result
