@@ -131,6 +131,13 @@ def test_vit_backbone_stride_32_contract_and_spec(rng):
 
     assert parse_vit_spec("vit", 1.0) == (384, 8, 6, 16)
     assert parse_vit_spec("vit_p32_d2_w64_h2", 1.0) == (64, 2, 2, 32)
+    for bad in ("vit_", "vit_pallas", "vit_x32", "vit_p"):
+        with pytest.raises(ValueError):
+            parse_vit_spec(bad, 1.0)
+    # a typo like "vitp32" must not silently train the default ViT
+    with pytest.raises(ValueError):
+        EncoderBackbone(backbone="vitp32").init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     img = jnp.asarray(rng.uniform(size=(1, 64, 96, 3)).astype(np.float32))
     for spec, channels in (("vit_d1_w32_h2", 64),  # patch16 + 2x reduce conv
                            ("vit_p32_d1_w32_h2", 32)):  # direct patch32
