@@ -182,12 +182,94 @@ def bench_matcher():
         "shape": [b, o, p]}), flush=True)
 
 
+def _chunked_step_time(step_fn, state, batch, n=10):
+    """Time an arbitrary (state, batch, rng) -> (state, aux) step with the
+    content-chained methodology."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def chunk(state, batch):
+        def body(carry, i):
+            st, _ = carry
+            b = dict(batch, image=batch["image"] + i.astype(jnp.float32)
+                     * 1e-6)
+            st, aux = step_fn(st, b, key)
+            return (st, aux["loss"]), aux["loss"]
+
+        (state, _), losses = jax.lax.scan(body, (state, jnp.float32(0)),
+                                          jnp.arange(n))
+        return state, losses
+
+    state, losses = chunk(state, batch)
+    float(losses.sum())
+    t0 = time.perf_counter()
+    state, losses = chunk(state, batch)
+    float(losses.sum())
+    return (time.perf_counter() - t0) / n, float(losses[-1])
+
+
+def bench_other_models():
+    """Panoptic and classifier-pretrainer throughput on the flagship config
+    — every model family in the framework gets a number."""
+    import jax
+    import jax.numpy as jnp
+
+    from boosted_detr_tpu.config import ModelConfig, TrainConfig
+    from boosted_detr_tpu.models.panoptic import (DETRPanoptic,
+                                                  make_panoptic_train_step)
+    from boosted_detr_tpu.models.pretrainer import (DETRMultiClassifier,
+                                                    make_pretrain_step)
+    from boosted_detr_tpu.train import steps
+
+    rng = np.random.default_rng(0)
+    bs = 8
+    cfg = ModelConfig(image_size=(640, 640), backbone="resnet",
+                      compute_dtype="bfloat16", max_objects=32,
+                      matcher="pallas", stem="patchify8")
+    tcfg = TrainConfig(batch_size=bs)
+    batch = make_batch(bs, cfg, rng)
+
+    mask_size = 96
+    pano = DETRPanoptic(cfg, mask_size=mask_size)
+    pbatch = dict(batch, masks=jnp.asarray(
+        rng.integers(0, 2, (bs, cfg.max_objects, mask_size, mask_size)),
+        jnp.float32))
+    variables = jax.jit(pano.init)(jax.random.PRNGKey(0), pbatch["image"])
+    state = steps.TrainState.create(
+        variables["params"], variables["batch_stats"],
+        steps.make_optimizer(tcfg, d_model=cfg.decoder_dim))
+    dt, loss = _chunked_step_time(make_panoptic_train_step(pano, tcfg),
+                                  state, pbatch)
+    print(json.dumps({
+        "benchmark": "train_panoptic_resnet_patchify8_640",
+        "ms_per_step": round(dt * 1e3, 2),
+        "images_per_sec": round(bs / dt, 1), "batch_size": bs,
+        "loss": round(loss, 3)}), flush=True)
+
+    pre = DETRMultiClassifier(cfg, num_classifier_classes=cfg.num_categories)
+    variables = jax.jit(pre.init)(jax.random.PRNGKey(0), batch["image"])
+    state = steps.TrainState.create(
+        variables["params"], variables["batch_stats"],
+        steps.make_optimizer(tcfg, d_model=cfg.decoder_dim))
+    dt, loss = _chunked_step_time(make_pretrain_step(pre), state, batch)
+    print(json.dumps({
+        "benchmark": "train_pretrainer_resnet_patchify8_640",
+        "ms_per_step": round(dt * 1e3, 2),
+        "images_per_sec": round(bs / dt, 1), "batch_size": bs,
+        "loss": round(loss, 3)}), flush=True)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
     args = parser.parse_args()
     bench_matcher()
     bench_throughput(args.quick)
+    if not args.quick:
+        bench_other_models()
 
 
 if __name__ == "__main__":
