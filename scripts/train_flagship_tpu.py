@@ -27,6 +27,7 @@ def main():
     parser.add_argument("--stem", default="patchify8")
     parser.add_argument("--backbone", default="resnet")
     parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--clipnorm", type=float, default=0.0)
     parser.add_argument("--schedule", default="constant",
                         help="constant | cosine_restarts | aiayn")
     parser.add_argument("--lr2", type=float, default=None,
@@ -72,7 +73,7 @@ def main():
 
     model = DETR(cfg)
     tcfg = TrainConfig(optimizer="adamw", learning_rate=args.lr,
-                       lr_schedule=args.schedule, clipnorm=0.0,
+                       lr_schedule=args.schedule, clipnorm=args.clipnorm,
                        batch_size=args.batch_size)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                     stacked["image"][0])
