@@ -186,10 +186,12 @@ class DETRPanoptic(_ModelBase):
     def make_pipeline(self, max_attribute_words: int = 8,
                       dataset=None, mask_size: Optional[int] = None
                       ) -> Pipeline:
-        # default mask targets to the module's mask resolution
+        # default mask targets to the module's mask resolution; an explicit
+        # mask_size=0 means "detection-only pipeline, no mask targets"
         return super().make_pipeline(
             max_attribute_words, dataset=dataset,
-            mask_size=mask_size or self.module.mask_size)
+            mask_size=(self.module.mask_size if mask_size is None
+                       else mask_size))
 
 
 class DETR_MultiClassifier:

@@ -114,7 +114,17 @@ def coco_json_to_dataframe(json_path: str, image_dir: str,
       annotations (reference datasets.py:457-459, :484-493).
     """
     if cache_path and os.path.exists(cache_path):
-        return pd.read_json(cache_path)
+        cached = pd.read_json(cache_path)
+        # Schema check: caches written before the optional columns existed
+        # (segmentation/iscrowd/keypoints/area) must be regenerated, or a
+        # panoptic run would silently fall back to box-shaped masks.
+        expected = {"area"} \
+            | ({"segmentation", "iscrowd"} if include_segmentation
+               else set()) \
+            | ({"keypoints", "num_keypoints"} if include_keypoints
+               else set())
+        if expected <= set(cached.columns):
+            return cached
 
     with open(json_path) as f:
         info = json.load(f)

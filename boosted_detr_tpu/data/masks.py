@@ -90,15 +90,16 @@ def decode_rle(rle: dict) -> np.ndarray:
             counts = counts.decode("ascii")
         counts = _decode_rle_counts(counts)
     counts = np.asarray(counts, np.int64)
-    total = int(counts.sum())
+    if int(counts.sum()) != h * w:
+        raise ValueError(
+            f"malformed RLE: counts sum to {int(counts.sum())}, "
+            f"expected h*w = {h * w}")
     flat = np.zeros(h * w, np.float32)
     # runs alternate value 0/1 starting with 0, in column-major order
     ends = np.cumsum(counts)
     starts = ends - counts
     for i in range(1, len(counts), 2):
         flat[starts[i]:ends[i]] = 1.0
-    if total != h * w:  # malformed annotation: clamp rather than crash
-        flat = flat[:h * w]
     return flat.reshape(w, h).T  # Fortran order
 
 

@@ -99,6 +99,15 @@ class Pipeline:
                 [min(int(r.get("num_boxes") or 0), o) for r in rows],
                 np.int32),
         }
+        if any(r.get("iscrowd") for r in rows):
+            # crowd flags feed the COCO eval protocol (detections matched to
+            # crowds are ignored, train/metrics.py); only emitted when the
+            # dataframe actually carries them, keeping synthetic batches lean
+            crowd = np.zeros((b, o), np.int32)
+            for i, r in enumerate(rows):
+                for j, flag in enumerate((r.get("iscrowd") or [])[:o]):
+                    crowd[i, j] = int(flag or 0)
+            out["iscrowd"] = crowd
         if self.mask_size:
             out["masks"] = self._encode_masks(rows, bbox)
         return out
@@ -167,6 +176,13 @@ class Pipeline:
         rng = np.random.default_rng((seed, epoch) if shuffle else seed)
         rows = df.to_dict("records")
         if process_count > 1:
+            # Every process MUST yield the SAME number of batches: the
+            # trainer's global-array assembly is a collective, so a host
+            # with one extra batch would block forever waiting for peers.
+            # Truncate to a prefix divisible by (batch_size * process_count)
+            # before striding (at least one global batch is kept).
+            per = max(len(rows) // (batch_size * process_count), 1)
+            rows = rows[:per * batch_size * process_count]
             rows = rows[process_index::process_count]
         while True:
             order = rng.permutation(len(rows)) if shuffle else np.arange(

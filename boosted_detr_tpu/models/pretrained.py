@@ -48,25 +48,20 @@ import numpy as np
 
 
 def _flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
-    out = {}
-    for k, v in tree.items():
-        path = f"{prefix}/{k}" if prefix else k
-        if isinstance(v, dict):
-            out.update(_flatten(v, path))
-        else:
-            out[path] = np.asarray(v)
-    return out
+    """Slash-joined path flattening via flax.traverse_util (flax is already
+    a hard dependency; no need to hand-roll tree walking)."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(dict(tree), sep="/")
+    if prefix:
+        flat = {f"{prefix}/{k}": v for k, v in flat.items()}
+    return {k: np.asarray(v) for k, v in flat.items()}
 
 
 def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
-    tree: Dict[str, Any] = {}
-    for path, v in flat.items():
-        node = tree
-        parts = path.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = v
-    return tree
+    from flax import traverse_util
+
+    return traverse_util.unflatten_dict(dict(flat), sep="/")
 
 
 def save_backbone_npz(variables: Dict[str, Any], path: str,

@@ -27,7 +27,7 @@ import numpy as np
 
 
 def export_serving(trainer, path: str,
-                   platforms: Optional[tuple] = ("cpu", "tpu")) -> str:
+                   platforms: tuple = ("cpu", "tpu")) -> str:
     """Serialize ``trainer``'s inference function + current weights."""
     import jax
     import jax.numpy as jnp
@@ -83,7 +83,10 @@ class ServingModel:
         preds = self._exported.call(np.asarray(images, np.float32))
         preds = {k: np.asarray(v) for k, v in preds.items()}
         if decode_text and self.codec is not None:
-            return self.codec.decode_predictions(preds)
+            decoded = self.codec.decode_predictions(preds)
+            if "masks" in preds:  # panoptic export: keep the mask logits
+                return (*decoded, preds["masks"])
+            return decoded
         return preds
 
 

@@ -173,13 +173,16 @@ def compute_map(predictions: Sequence[Dict[str, np.ndarray]],
             areas_d = d_area[d_idx]
             boxes_d = p_boxes[d_idx]
             g_idx = np.nonzero(gm)[0]
+            # IoUs depend only on (image, class) — compute once and permute
+            # columns per area range (pycocotools' computeIoU/evalImg split)
+            ious_all = _iou_matrix(boxes_d, g_boxes[g_idx], g_crowd[g_idx])
             for name, (lo, hi) in ranges.items():
                 ig = g_crowd[g_idx] | (g_area[g_idx] < lo) | (
                     g_area[g_idx] > hi)
                 # valid gts first (stable), matching pycocotools' gtIg sort
                 gorder = np.argsort(ig, kind="stable")
                 gi = g_idx[gorder]
-                ious = _iou_matrix(boxes_d, g_boxes[gi], g_crowd[gi])
+                ious = ious_all[:, gorder]
                 dtm, dt_ig = _match_image(ious, ig[gorder], thresholds,
                                           g_crowd[gi])
                 out_of_range = (areas_d < lo) | (areas_d > hi)

@@ -241,8 +241,8 @@ class Trainer:
                     f"must divide the 'data' axis ({n_data})")
             spec = P(*([None] * batch_axis + [mesh_lib.DATA_AXIS]))
             sh = NamedSharding(self.mesh, spec)
-            return {k: jax.make_array_from_process_local_data(
-                sh, np.asarray(v)) for k, v in batch.items()}
+            from boosted_detr_tpu.parallel.multiprocess import global_batch
+            return global_batch(batch, sh)
         if n_data > 1 and b % n_data == 0:
             spec = P(*([None] * batch_axis + [mesh_lib.DATA_AXIS]))
             sh = NamedSharding(self.mesh, spec)
