@@ -191,3 +191,120 @@ def test_fit_partial_tail_group_no_scan_retrace(rng):
     # the scan only ever sees FULL groups (tails go through _train_step), so
     # a ragged tail can never retrace it with a new length
     assert scan_lengths == [2, 2]
+
+
+# ---- second self-review round regressions ---------------------------------
+
+
+def test_multihost_feed_yields_equal_batch_counts():
+    """Per-host striding must give every process the SAME number of batches
+    (a host with one extra batch would hang in the collective global-array
+    assembly). 15 rows / bs 4 / 2 processes used to give 2 vs 1."""
+    import pandas as pd
+
+    from boosted_detr_tpu.data.codec import TextCodec
+    from boosted_detr_tpu.data.pipeline import Pipeline
+
+    ds = SyntheticShapes(num_images=15, image_size=16, max_objects=2, seed=0)
+    df = ds.dataframes("train")
+    assert isinstance(df, pd.DataFrame) and len(df) == 15
+    codec = TextCodec(ds.get_vocab())
+    pipe = Pipeline((16, 16), max_objects=2, codec=codec, dataset=ds)
+    counts = []
+    for pi in range(2):
+        n = sum(1 for _ in pipe.batches(df, batch_size=4, shuffle=False,
+                                        process_index=pi, process_count=2))
+        counts.append(n)
+    assert counts[0] == counts[1] > 0, counts
+
+
+def test_pipeline_emits_iscrowd_and_eval_consumes_it(tmp_path):
+    """Crowd flags flow dataframe -> batch -> ground-truth records, so the
+    evaluator's crowd-ignore protocol is reachable end to end."""
+    import json
+
+    from PIL import Image
+
+    from boosted_detr_tpu.data.codec import TextCodec
+    from boosted_detr_tpu.data.datasets import coco_json_to_dataframe
+    from boosted_detr_tpu.data.pipeline import Pipeline
+    from boosted_detr_tpu.train import metrics as metrics_lib
+
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(
+        img_dir / "a.jpg")
+    coco = {"images": [{"id": 1, "file_name": "a.jpg", "width": 32,
+                        "height": 32}],
+            "annotations": [
+                {"id": 1, "image_id": 1, "category_id": 1,
+                 "bbox": [2, 2, 8, 8], "iscrowd": 0},
+                {"id": 2, "image_id": 1, "category_id": 1,
+                 "bbox": [12, 12, 10, 10], "iscrowd": 1}],
+            "categories": [{"id": 1, "name": "thing"}]}
+    p = tmp_path / "inst.json"
+    p.write_text(json.dumps(coco))
+    df = coco_json_to_dataframe(str(p), str(img_dir))
+    codec = TextCodec({"category": ["thing"], "attribute": []})
+    pipe = Pipeline((32, 32), max_objects=3, codec=codec)
+    batch = next(pipe.batches(df, batch_size=1, shuffle=False,
+                              drop_remainder=False))
+    assert "iscrowd" in batch
+    assert batch["iscrowd"].tolist() == [[0, 1, 0]]
+    gts = metrics_lib.batch_to_ground_truth(batch)
+    assert gts[0]["iscrowd"].tolist() == [0, 1]
+
+
+def test_coco_cache_regenerates_on_stale_schema(tmp_path):
+    """A cache written before the optional columns existed must be
+    regenerated, not silently returned without segmentation/area."""
+    import json
+
+    import pandas as pd
+
+    from boosted_detr_tpu.data.datasets import coco_json_to_dataframe
+
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    from PIL import Image
+
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(img_dir / "a.jpg")
+    coco = {"images": [{"id": 1, "file_name": "a.jpg", "width": 16,
+                        "height": 16}],
+            "annotations": [{"id": 1, "image_id": 1, "category_id": 1,
+                             "bbox": [1, 1, 4, 4], "iscrowd": 0,
+                             "segmentation": [[1, 1, 5, 1, 5, 5]]}],
+            "categories": [{"id": 1, "name": "x"}]}
+    p = tmp_path / "inst.json"
+    p.write_text(json.dumps(coco))
+    cache = tmp_path / "cache" / "df.json"
+    # stale cache: old schema without segmentation/area columns
+    cache.parent.mkdir()
+    pd.DataFrame([{"id_num": 1, "file_name": "a.jpg",
+                   "image_path": "x", "width": 16, "height": 16,
+                   "num_boxes": 1, "bbox": [[0, 0, 1, 1]],
+                   "category": [["x"]], "attribute": [["<PAD>"]]
+                   }]).to_json(cache)
+    df = coco_json_to_dataframe(str(p), str(img_dir), str(cache))
+    assert {"segmentation", "iscrowd", "area"} <= set(df.columns)
+
+
+def test_api_panoptic_pipeline_mask_size_zero_disables_masks():
+    """mask_size=0 means 'detection-only pipeline' — it must not be
+    silently replaced by the module's default mask resolution."""
+    vocab = {"category": ["a"], "attribute": []}
+    pano = api.DETRPanoptic(vocab_dict=vocab, num_object_preds=4,
+                            image_size=(32, 32), num_encoder_blocks=1,
+                            num_encoder_heads=2, encoder_dim=16,
+                            num_decoder_blocks=1, num_decoder_heads=2,
+                            decoder_dim=16, backbone="tiny",
+                            backbone_width=0.25, max_objects=2)
+    assert pano.make_pipeline(mask_size=0).mask_size == 0
+    assert pano.make_pipeline().mask_size == pano.module.mask_size
+
+
+def test_decode_rle_rejects_malformed_counts():
+    from boosted_detr_tpu.data import masks as masks_lib
+
+    with pytest.raises(ValueError):
+        masks_lib.decode_rle({"size": [4, 4], "counts": [3, 2]})
