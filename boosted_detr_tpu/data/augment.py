@@ -35,9 +35,12 @@ def _truncated_shrink(key, shape):
     return jnp.maximum(1.0, t)
 
 
-def random_downsize_shift_pad(key, image, bbox):
+def random_downsize_shift_pad(key, image, bbox, masks=None):
     """Per-image random shrink (per axis), shift, zero-pad — with bbox math
-    (reference pipeline.py:274-317). image [H,W,3] f32, bbox [O,4] COCO."""
+    (reference pipeline.py:274-317). image [H,W,3] f32, bbox [O,4] COCO,
+    optional full-image masks [O,S,S] warped by the SAME affine (mask targets
+    live in image coordinates, so leaving them fixed would train the mask
+    head against un-shifted targets)."""
     h, w = image.shape[0], image.shape[1]
     k1, k2, k3 = jax.random.split(key, 3)
     f = _truncated_shrink(k1, (2,))  # [f_h, f_w]
@@ -57,7 +60,15 @@ def random_downsize_shift_pad(key, image, bbox):
         bbox[:, 2] * scale[1],
         bbox[:, 3] * scale[0],
     ], axis=-1)
-    return out, new_bbox
+    if masks is None:
+        return out, new_bbox
+    s = masks.shape[-1]
+    new_masks = jax.image.scale_and_translate(
+        masks, masks.shape, (1, 2),
+        scale=jnp.asarray([scale[0], scale[1]], jnp.float32),
+        translation=jnp.asarray([off_h * s, off_w * s], jnp.float32),
+        method="linear")
+    return out, new_bbox, jnp.clip(new_masks, 0.0, 1.0)
 
 
 def random_contrast(key, image, lower=0.8, upper=1.2):
@@ -82,23 +93,37 @@ def random_saturation(key, image, lower=0.8, upper=1.2):
     return gray + f * (image - gray)
 
 
-def augment_one(key, image, bbox):
+def augment_one(key, image, bbox, masks=None):
     ks = jax.random.split(key, 4)
-    image, bbox = random_downsize_shift_pad(ks[0], image, bbox)
+    if masks is None:
+        image, bbox = random_downsize_shift_pad(ks[0], image, bbox)
+    else:
+        image, bbox, masks = random_downsize_shift_pad(ks[0], image, bbox,
+                                                       masks)
     image = random_contrast(ks[1], image)
     image = random_brightness(ks[2], image)
     image = random_saturation(ks[3], image)
-    return jnp.clip(image, 0.0, 1.0), bbox
+    image = jnp.clip(image, 0.0, 1.0)
+    return (image, bbox) if masks is None else (image, bbox, masks)
 
 
 def augment_batch(key, batch: Dict[str, jnp.ndarray]) -> Dict:
     """Jittable batched augmentation: vmapped per-image randomness. Pad boxes
     (value -10) pass through the affine math but stay far outside [0,1] and
-    are masked by num_objects downstream, so no special-casing is needed."""
+    are masked by num_objects downstream, so no special-casing is needed.
+    Panoptic mask targets ('masks' [B,O,S,S]) are warped with the same
+    per-image affine, keeping mask/box alignment under augmentation."""
     b = batch["image"].shape[0]
     keys = jax.random.split(key, b)
-    image, bbox = jax.vmap(augment_one)(keys, batch["image"], batch["bbox"])
     out = dict(batch)
+    if "masks" in batch:
+        image, bbox, masks = jax.vmap(
+            lambda k, im, bb, mk: augment_one(k, im, bb, mk))(
+                keys, batch["image"], batch["bbox"], batch["masks"])
+        out["masks"] = masks
+    else:
+        image, bbox = jax.vmap(augment_one)(keys, batch["image"],
+                                            batch["bbox"])
     out["image"] = image
     out["bbox"] = bbox
     return out

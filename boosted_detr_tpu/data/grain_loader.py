@@ -25,23 +25,25 @@ class DataFrameSource:
     def __init__(self, df, pipeline: Pipeline):
         self._rows = df.to_dict("records")
         self._pipe = pipeline
+        # key-set decision made ONCE for the whole source (batch pytrees must
+        # be structurally identical), matching Pipeline.batches
+        self._include_crowd = any(r.get("iscrowd") for r in self._rows)
 
     def __len__(self) -> int:
         return len(self._rows)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         row = self._rows[idx]
-        batch = self._pipe._encode_labels([row])
+        batch = self._pipe._encode_labels(
+            [row], include_crowd=self._include_crowd)
         image = load_image(row["image_path"], self._pipe.image_size,
                            self._pipe.dataset)
-        return {
-            "image": image.astype(np.float32),
-            "category_ids": batch["category_ids"][0],
-            "attribute_ids": batch["attribute_ids"][0],
-            "bbox": batch["bbox"][0],
-            "num_objects": batch["num_objects"][0],
-            "image_id": np.int64(row.get("id_num", -1)),
-        }
+        # full parity with Pipeline.batches: masks / iscrowd / area /
+        # orig_size flow through when the pipeline produces them
+        out = {k: v[0] for k, v in batch.items()}
+        out["image"] = image.astype(np.float32)
+        out["image_id"] = np.int64(row.get("id_num", -1))
+        return out
 
 
 def make_grain_loader(df, pipeline: Pipeline, batch_size: int,

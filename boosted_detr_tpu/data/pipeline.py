@@ -31,6 +31,16 @@ from boosted_detr_tpu.data.codec import TextCodec
 BOX_PAD_VALUE = -10.0  # reference pipeline.py:93
 
 
+def _scalar_or(value, default):
+    """A scalar cell that may be missing or a pandas NaN -> value/default."""
+    try:
+        if value is None or not np.isfinite(value):
+            return default
+    except TypeError:
+        return default
+    return value
+
+
 def load_image(path: str, image_size, dataset=None) -> np.ndarray:
     """Decode + resize + scale to [0,1] f32 (reference pipeline.py:53-64).
     ``synthetic://`` paths render from a SyntheticShapes instance."""
@@ -80,7 +90,8 @@ class Pipeline:
         self.mask_size = mask_size  # set -> batches carry 'masks' [B,O,S,S]
         self._epoch = 0  # advances per batches() call -> fresh shuffles
 
-    def _encode_labels(self, rows) -> Dict[str, np.ndarray]:
+    def _encode_labels(self, rows,
+                       include_crowd: bool = False) -> Dict[str, np.ndarray]:
         cats = [r.get("category") or [[PAD_TOKEN]] for r in rows]
         atts = [r.get("attribute") or [[PAD_TOKEN]] for r in rows]
         b = len(rows)
@@ -99,13 +110,41 @@ class Pipeline:
                 [min(int(r.get("num_boxes") or 0), o) for r in rows],
                 np.int32),
         }
-        if any(r.get("iscrowd") for r in rows):
+        # Original image size [h, w] + per-object pixel AREA: the COCO eval
+        # protocol's area-range thresholds (32^2/96^2) are defined on the
+        # ORIGINAL image in pixels, using the annotation's own `area` field
+        # (segmentation area) when present — box w*h on the resized square
+        # would systematically mis-bucket non-square originals.
+        orig = np.zeros((b, 2), np.int32)
+        area = np.zeros((b, o), np.float32)
+        for i, r in enumerate(rows):
+            ih = int(_scalar_or(r.get("height"), 0)) or self.image_size[0]
+            iw = int(_scalar_or(r.get("width"), 0)) or self.image_size[1]
+            orig[i] = (ih, iw)
+            boxes = r.get("bbox") or []
+            areas = r.get("area")
+            areas = areas if isinstance(areas, (list, tuple)) else []
+            for j in range(min(len(boxes), o)):
+                a = areas[j] if j < len(areas) else None
+                if a is not None and np.isfinite(a) and a > 0:
+                    area[i, j] = float(a)
+                else:
+                    area[i, j] = max(boxes[j][2], 0.0) * max(
+                        boxes[j][3], 0.0) * iw * ih
+        out["orig_size"] = orig
+        out["area"] = area
+        if include_crowd:
             # crowd flags feed the COCO eval protocol (detections matched to
-            # crowds are ignored, train/metrics.py); only emitted when the
-            # dataframe actually carries them, keeping synthetic batches lean
+            # crowds are ignored, train/metrics.py). The key decision is made
+            # ONCE per feed (not per batch) so every batch from one iterator
+            # has an identical pytree structure — a per-batch key would make
+            # fit(scan_steps>1) stacking KeyError on mixed groups.
             crowd = np.zeros((b, o), np.int32)
             for i, r in enumerate(rows):
-                for j, flag in enumerate((r.get("iscrowd") or [])[:o]):
+                flags = r.get("iscrowd")  # pandas NaN when the row lacks it
+                if not isinstance(flags, (list, tuple)):
+                    continue
+                for j, flag in enumerate(flags[:o]):
                     crowd[i, j] = int(flag or 0)
             out["iscrowd"] = crowd
         if self.mask_size:
@@ -175,24 +214,33 @@ class Pipeline:
             epoch, self._epoch = self._epoch, self._epoch + 1
         rng = np.random.default_rng((seed, epoch) if shuffle else seed)
         rows = df.to_dict("records")
-        if process_count > 1:
+        include_crowd = any(r.get("iscrowd") for r in rows)  # ONCE per feed
+        if process_count > 1 and len(rows) < batch_size * process_count:
+            raise ValueError(
+                f"dataset has {len(rows)} rows but one global batch needs "
+                f"batch_size*process_count = {batch_size * process_count}; "
+                "shrink batch_size or grow the dataset")
+        while True:
             # Every process MUST yield the SAME number of batches: the
             # trainer's global-array assembly is a collective, so a host
             # with one extra batch would block forever waiting for peers.
-            # Truncate to a prefix divisible by (batch_size * process_count)
-            # before striding (at least one global batch is kept).
-            per = max(len(rows) // (batch_size * process_count), 1)
-            rows = rows[:per * batch_size * process_count]
-            rows = rows[process_index::process_count]
-        while True:
+            # The (seed, epoch) rng is identical on all hosts, so the global
+            # permutation agrees everywhere; truncating AFTER shuffling means
+            # the excluded N % (batch_size*process_count) remainder rotates
+            # across epochs instead of being permanently dropped.
             order = rng.permutation(len(rows)) if shuffle else np.arange(
                 len(rows))
+            if process_count > 1:
+                per = len(rows) // (batch_size * process_count)
+                order = order[:per * batch_size * process_count]
+                order = order[process_index::process_count]
             for start in range(0, len(order), batch_size):
                 idx = order[start:start + batch_size]
                 if len(idx) < batch_size and drop_remainder:
                     continue
                 chunk = [rows[i] for i in idx]
-                batch = self._encode_labels(chunk)
+                batch = self._encode_labels(chunk,
+                                            include_crowd=include_crowd)
                 batch["image"] = self._load_images(chunk)
                 batch["image_id"] = np.asarray(
                     [int(r.get("id_num", -1)) for r in chunk], np.int64)

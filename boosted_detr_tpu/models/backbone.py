@@ -236,6 +236,7 @@ class ViTBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     mlp_ratio: int = 4
     use_pallas: bool = False
+    qk_norm: bool = False
 
     @nn.compact
     def __call__(self, x):  # x: f32 [B, T, D]
@@ -243,7 +244,8 @@ class ViTBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln1")(x)
         h = MultiheadAttention(self.num_heads, dtype=self.dtype,
                                post_softmax_mask=False,
-                               use_pallas=self.use_pallas, name="attn")(
+                               use_pallas=self.use_pallas,
+                               qk_norm=self.qk_norm, name="attn")(
                                    h.astype(self.dtype), h.astype(self.dtype),
                                    h.astype(self.dtype))
         x = x + h.astype(jnp.float32)
@@ -280,6 +282,7 @@ class ViTBackbone(nn.Module):
     patch: int = 16
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    qk_norm: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -299,7 +302,8 @@ class ViTBackbone(nn.Module):
         x = x + pos[None]
         for i in range(self.depth):
             x = ViTBlock(self.num_heads, self.dtype,
-                         use_pallas=self.use_pallas, name=f"block_{i}")(x)
+                         use_pallas=self.use_pallas, qk_norm=self.qk_norm,
+                         name=f"block_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln_final")(x)
         x = x.reshape(b, gh, gw, self.dim).astype(self.dtype)
         if self.patch < 32:
@@ -309,15 +313,22 @@ class ViTBackbone(nn.Module):
         return x
 
 
-def parse_vit_spec(backbone: str, width: float) -> Tuple[int, int, int, int]:
-    """Parse a ``vit[_pP][_dD][_wW][_hH]`` backbone string into
-    (dim, depth, heads, patch). Defaults: ViT-Small-ish d384/8 blocks/
-    6 heads/patch 16; ``width`` scales the embedding dim."""
+def parse_vit_spec(backbone: str, width: float
+                   ) -> Tuple[int, int, int, int, bool]:
+    """Parse a ``vit[_pP][_dD][_wW][_hH][_qk]`` backbone string into
+    (dim, depth, heads, patch, qk_norm). Defaults: ViT-Small-ish d384/
+    8 blocks/6 heads/patch 16; ``width`` scales the embedding dim; the
+    ``qk`` token enables per-head QK-norm (spike stabilizer)."""
     dim, depth, heads, patch = 384, 8, 6, 16
+    qk_norm = False
     for tok in backbone.split("_")[1:]:
+        if tok == "qk":
+            qk_norm = True
+            continue
         if len(tok) < 2 or tok[0] not in "pdwh" or not tok[1:].isdigit():
             raise ValueError(f"bad vit spec token '{tok}' in '{backbone}' "
-                             "(expected p<patch>/d<depth>/w<dim>/h<heads>)")
+                             "(expected p<patch>/d<depth>/w<dim>/h<heads>"
+                             "/qk)")
         kind, val = tok[0], int(tok[1:])
         if kind == "p":
             patch = val
@@ -327,7 +338,7 @@ def parse_vit_spec(backbone: str, width: float) -> Tuple[int, int, int, int]:
             dim = val
         else:
             heads = val
-    return int(dim * width), depth, heads, patch
+    return int(dim * width), depth, heads, patch, qk_norm
 
 
 class TinyBackbone(nn.Module):
@@ -393,10 +404,11 @@ class EncoderBackbone(nn.Module):
         elif self.backbone == "vit" or self.backbone.startswith("vit_"):
             # (exact-prefix match: a typo like "vitp32" must error below,
             # not silently train the default ViT)
-            dim, depth, heads, patch = parse_vit_spec(self.backbone,
-                                                      self.width)
+            dim, depth, heads, patch, qk_norm = parse_vit_spec(self.backbone,
+                                                               self.width)
             net = ViTBackbone(dim, depth, heads, patch, self.dtype,
-                              use_pallas=self.use_pallas, name="vit")
+                              use_pallas=self.use_pallas, qk_norm=qk_norm,
+                              name="vit")
         else:
             raise ValueError(f"unknown backbone '{self.backbone}'")
         return net(x, train=train)

@@ -68,6 +68,7 @@ class MultiheadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     post_softmax_mask: bool = True
     use_pallas: bool = False
+    qk_norm: bool = False  # per-head LayerNorm on q/k (ViT spike stabilizer)
 
     @nn.compact
     def __call__(self, query, key, value, mask=None):
@@ -87,6 +88,18 @@ class MultiheadAttention(nn.Module):
             return x.reshape(b, t, self.num_heads, head_dim)
 
         q, k, v = split(q), split(k), split(v)
+        if self.qk_norm:
+            # QK-norm (Dehghani et al., ViT-22B): bounds attention logits so
+            # one head can't blow up the softmax mid-run — the p16 ViT's
+            # training-spike mitigation (benchmarks/RESULTS.md round 3).
+            # f32 norm over head_dim, learned scale, no bias; OFF for the
+            # reference-parity DETR transformer.
+            q = nn.LayerNorm(epsilon=1e-6, use_bias=False,
+                             dtype=jnp.float32, name="q_norm")(
+                                 q.astype(jnp.float32)).astype(self.dtype)
+            k = nn.LayerNorm(epsilon=1e-6, use_bias=False,
+                             dtype=jnp.float32, name="k_norm")(
+                                 k.astype(jnp.float32)).astype(self.dtype)
 
         if self.use_pallas and mask is None:
             # fused blockwise attention kernel (ops/pallas_attention.py)

@@ -317,6 +317,15 @@ def hungarian_host(cost: jnp.ndarray, num_objects: jnp.ndarray) -> jnp.ndarray:
     """
     import numpy as np
 
+    if jax.default_backend() == "tpu":
+        # jax.pure_callback is unimplemented on this TPU runtime; without
+        # this check a matcher="hungarian_host" config fails deep inside XLA
+        # with a cryptic runtime error instead of a clear message.
+        raise ValueError(
+            "matcher='hungarian_host' is CPU-only (it uses jax.pure_callback,"
+            " unimplemented on the TPU backend). Use matcher='hungarian' "
+            "(exact, on-device), 'pallas' (exact, fastest), or 'auction'.")
+
     def _solve(cost_np, n_np):
         from scipy.optimize import linear_sum_assignment
 

@@ -13,8 +13,18 @@ can load WITHOUT the model code:
 
 ``export_serving(trainer, path)`` writes it; ``load_serving(path)`` returns
 a callable ``images [B,H,W,3] in [0,1] -> (category_strings,
-attribute_strings, boxes)`` (or the raw probability dict with
-``decode_text=False``) backed only by the artifact.
+attribute_strings, boxes, extras)`` (or the raw probability dict with
+``decode_text=False``) backed only by the artifact. ``extras`` is a dict —
+always present, possibly empty — carrying any additional outputs ("masks"
+for panoptic exports, "exit_block" for early-exit exports), so the decode
+return is fixed-arity regardless of model family.
+
+``export_serving(..., early_exit=True)`` serves the adaptive-depth feature
+the reference's README promises but never ships (reference README.md:63-88):
+the artifact's graph computes every decoder block's predictions and selects,
+per image, the earliest block whose confidence clears a RUNTIME ``threshold``
+argument (models/early_exit.py:34 adaptive_select) — the latency knob
+travels with the artifact instead of requiring model code.
 """
 
 from __future__ import annotations
@@ -27,8 +37,14 @@ import numpy as np
 
 
 def export_serving(trainer, path: str,
-                   platforms: tuple = ("cpu", "tpu")) -> str:
-    """Serialize ``trainer``'s inference function + current weights."""
+                   platforms: tuple = ("cpu", "tpu"),
+                   early_exit: bool = False) -> str:
+    """Serialize ``trainer``'s inference function + current weights.
+
+    ``early_exit=True`` exports the adaptive-select graph instead: the
+    artifact takes ``(images, threshold)`` and returns per-image earliest
+    confident block predictions plus ``exit_block`` [B].
+    """
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
@@ -37,16 +53,32 @@ def export_serving(trainer, path: str,
     model = trainer.model
     params = jax.device_get(trainer.state.params)
     batch_stats = jax.device_get(trainer.state.batch_stats)
-
-    def infer(image):
-        return model.apply({"params": params, "batch_stats": batch_stats},
-                           image, train=False)
+    variables = {"params": params, "batch_stats": batch_stats}
 
     h, w = trainer.model_cfg.image_size
     b = jexport.symbolic_shape("b")[0]
-    exported = jexport.export(
-        jax.jit(infer), platforms=list(platforms))(
-            jax.ShapeDtypeStruct((b, h, w, 3), jnp.float32))
+    image_spec = jax.ShapeDtypeStruct((b, h, w, 3), jnp.float32)
+
+    if early_exit:
+        from boosted_detr_tpu.models import early_exit as early_exit_lib
+
+        def infer(image, threshold):
+            outs = model.apply(variables, image, train=False,
+                               return_intermediate=True)
+            preds, exit_block = early_exit_lib.adaptive_select(outs,
+                                                               threshold)
+            preds["exit_block"] = exit_block
+            return preds
+
+        exported = jexport.export(
+            jax.jit(infer), platforms=list(platforms))(
+                image_spec, jax.ShapeDtypeStruct((), jnp.float32))
+    else:
+        def infer(image):
+            return model.apply(variables, image, train=False)
+
+        exported = jexport.export(
+            jax.jit(infer), platforms=list(platforms))(image_spec)
     with open(os.path.join(path, "model.bin"), "wb") as f:
         f.write(exported.serialize())
     meta = {
@@ -54,8 +86,10 @@ def export_serving(trainer, path: str,
         "vocab_dict": (trainer.codec.vocab_dict
                        if trainer.codec is not None else None),
         "model_class": type(model).__name__,
+        "early_exit": bool(early_exit),
         "outputs": "dict(category softmax, attribute sigmoid, boxes COCO"
-                   " [x,y,w,h]; masks logits when panoptic)",
+                   " [x,y,w,h]; masks logits when panoptic; exit_block when"
+                   " early_exit)",
     }
     with open(os.path.join(path, "serving_config.json"), "w") as f:
         json.dump(meta, f, indent=2)
@@ -79,14 +113,33 @@ class ServingModel:
 
             self.codec = TextCodec(self.meta["vocab_dict"])
 
-    def __call__(self, images: np.ndarray, decode_text: bool = True):
-        preds = self._exported.call(np.asarray(images, np.float32))
+    def __call__(self, images: np.ndarray, decode_text: bool = True,
+                 threshold: Optional[float] = None):
+        """Serve a batch. Decode path returns the FIXED-arity 4-tuple
+        ``(category_strings, attribute_strings, boxes, extras)``; ``extras``
+        is a (possibly empty) dict with "masks" / "exit_block" when the
+        artifact produces them. ``threshold`` sets the early-exit confidence
+        for early-exit artifacts (default 1.0 = effectively run the full
+        stack unless a block is fully confident)."""
+        images = np.asarray(images, np.float32)
+        if self.meta.get("early_exit"):
+            thr = np.float32(1.0 if threshold is None else threshold)
+            preds = self._exported.call(images, thr)
+        else:
+            if threshold is not None:
+                raise ValueError(
+                    "this artifact was exported without early_exit=True; "
+                    "re-export with export_serving(..., early_exit=True) to "
+                    "serve a runtime threshold")
+            preds = self._exported.call(images)
         preds = {k: np.asarray(v) for k, v in preds.items()}
         if decode_text and self.codec is not None:
-            decoded = self.codec.decode_predictions(preds)
-            if "masks" in preds:  # panoptic export: keep the mask logits
-                return (*decoded, preds["masks"])
-            return decoded
+            decode_in = {k: v for k, v in preds.items()
+                         if k in ("category", "attribute", "boxes")}
+            cats, atts, boxes = self.codec.decode_predictions(decode_in)
+            extras = {k: v for k, v in preds.items()
+                      if k not in ("category", "attribute", "boxes")}
+            return cats, atts, boxes, extras
         return preds
 
 

@@ -284,8 +284,9 @@ def detr_predictions_to_eval(preds: Dict[str, np.ndarray],
 
 def batch_to_ground_truth(batch: Dict[str, np.ndarray]
                           ) -> List[Dict[str, np.ndarray]]:
-    """Pipeline batch -> per-image ground-truth records (crowd flags pass
-    through when the pipeline provides them)."""
+    """Pipeline batch -> per-image ground-truth records. Crowd flags and
+    per-object annotation ``area`` (original-image pixels, pycocotools'
+    area source) pass through when the pipeline provides them."""
     out = []
     b = len(batch["num_objects"])
     for i in range(b):
@@ -294,6 +295,8 @@ def batch_to_ground_truth(batch: Dict[str, np.ndarray]
                "labels": np.asarray(batch["category_ids"][i][:n])}
         if "iscrowd" in batch:
             rec["iscrowd"] = np.asarray(batch["iscrowd"][i][:n])
+        if "area" in batch:
+            rec["area"] = np.asarray(batch["area"][i][:n], np.float32)
         out.append(rec)
     return out
 
@@ -301,18 +304,30 @@ def batch_to_ground_truth(batch: Dict[str, np.ndarray]
 def evaluate_map_fn(predict_fn, batches,
                     image_size) -> Dict[str, float]:
     """Run ``predict_fn(image) -> {"category", "boxes", ...}`` over batches
-    and compute COCO mAP. Boxes are normalized; area-based metrics use box
-    areas scaled to ``image_size`` so the COCO pixel area ranges apply."""
+    and compute COCO mAP.
+
+    Boxes are normalized; each image's boxes are scaled to its ORIGINAL
+    pixel size (``batch["orig_size"]`` [B, 2] = [h, w], falling back to the
+    model's resized ``image_size``) so the COCO pixel area ranges
+    (32^2/96^2) bucket detections the way pycocotools does on non-square
+    originals. Ground-truth areas use the annotation's own ``area`` when the
+    pipeline provides it (segmentation area, pycocotools' source)."""
     preds_all: List[Dict] = []
     gts_all: List[Dict] = []
+    sizes: List[Tuple[int, int]] = []  # per-image (h, w)
     for batch in batches:
         preds_all.extend(detr_predictions_to_eval(predict_fn(batch["image"])))
         gts_all.extend(batch_to_ground_truth(batch))
-    h, w = image_size
+        if "orig_size" in batch:
+            sizes.extend((int(h), int(w)) for h, w in
+                         np.asarray(batch["orig_size"]))
+        else:
+            sizes.extend([tuple(image_size)] * len(batch["num_objects"]))
 
     def scale(recs):
-        s = np.asarray([w, h, w, h], np.float32)
-        return [dict(r, boxes=np.asarray(r["boxes"]) * s) for r in recs]
+        return [dict(r, boxes=np.asarray(r["boxes"], np.float32)
+                     * np.asarray([w, h, w, h], np.float32))
+                for r, (h, w) in zip(recs, sizes)]
 
     return compute_map(scale(preds_all), scale(gts_all))
 

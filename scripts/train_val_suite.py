@@ -1,0 +1,246 @@
+"""Held-out quality benchmark (VERDICT r2 #1): train each model variant on
+the HARD synthetic suite and report mAP on the DISJOINT val split.
+
+Every quality number reported before round 3 was a 16-image overfit; this
+harness is the generalization protocol: SyntheticShapes.hard() (256 train /
+64 val images, 2-8 overlapping objects, box sides 0.04-0.6 so areas span the
+COCO small/medium/large buckets at 640px), train with the device-resident
+scan harness (all data staged to HBM; chunked dispatches — the tunnel worker
+crashes past ~60s in one dispatch), then COCO mAP on train AND val.
+
+Mirrors the reference's only quality evidence: validation-image
+generalization (reference README.md:23-33).
+
+Usage:
+  python scripts/train_val_suite.py --variant flagship --steps 6000
+  python scripts/train_val_suite.py --variant conv7 patchify vit_p32
+  python scripts/train_val_suite.py --cpu --quick   # tiny CPU sanity run
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+VARIANTS = {
+    # name -> (model_family, config overrides)
+    "flagship": ("detr", dict(backbone="resnet", stem="patchify8")),
+    "conv7": ("detr", dict(backbone="resnet", stem="conv7")),
+    "patchify": ("detr", dict(backbone="resnet", stem="patchify")),
+    "vit_p32": ("detr", dict(backbone="vit_p32",
+                             use_pallas_attention=False)),
+    "vit_p16": ("detr", dict(backbone="vit")),
+    "boosted": ("boosted", dict(backbone="resnet", stem="patchify8")),
+    "panoptic": ("panoptic", dict(backbone="resnet", stem="patchify8")),
+}
+
+
+def run_variant(name, args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boosted_detr_tpu.config import ModelConfig, TrainConfig
+    from boosted_detr_tpu.data.codec import TextCodec
+    from boosted_detr_tpu.data.datasets import SyntheticShapes
+    from boosted_detr_tpu.data.pipeline import Pipeline
+    from boosted_detr_tpu.train import metrics as metrics_lib
+    from boosted_detr_tpu.train import steps
+
+    family, overrides = VARIANTS[name]
+    size = 64 if args.cpu else 640
+    if args.cpu:
+        overrides = dict(overrides)
+        overrides.pop("stem", None)
+        overrides["backbone"] = "tiny"
+        overrides["backbone_width"] = 0.5
+
+    ds = SyntheticShapes.hard(num_images=args.images, image_size=size,
+                              num_val_images=args.val_images, seed=0)
+    train_df = ds.dataframes("train")
+    val_df = ds.dataframes("val")
+    codec = TextCodec(ds.get_vocab())
+    cfg = ModelConfig(
+        image_size=(size, size), compute_dtype=("float32" if args.cpu
+                                                else "bfloat16"),
+        matcher="hungarian" if args.cpu else "pallas", max_objects=8,
+        num_categories=codec.vocab_size_dict()["category"],
+        num_attributes=codec.vocab_size_dict()["attributes"],
+        dropout_rate=0.0, **overrides)
+    if args.cpu:
+        cfg = cfg.replace(num_encoder_blocks=2, num_decoder_blocks=2,
+                          encoder_dim=64, decoder_dim=64,
+                          num_encoder_heads=4, num_decoder_heads=4,
+                          num_object_preds=16)
+
+    mask_size = 48 if family == "panoptic" else None
+    pipe = Pipeline((size, size), max_objects=cfg.max_objects, codec=codec,
+                    dataset=ds, mask_size=mask_size)
+    keys = ["image", "category_ids", "attribute_ids", "bbox", "num_objects"]
+    if mask_size:
+        keys.append("masks")
+
+    def stack(df):
+        host = list(pipe.batches(df, batch_size=args.batch_size,
+                                 shuffle=False, drop_remainder=True))
+        return {k: jnp.asarray(np.stack([b[k] for b in host]))
+                for k in keys}, len(host)
+
+    stacked, n_b = stack(train_df)
+    val_stacked, n_vb = stack(val_df)
+    print(f"[{name}] {n_b} train / {n_vb} val device-resident batches; "
+          f"train stack {stacked['image'].nbytes / 1e6:.0f} MB", flush=True)
+
+    if family == "panoptic":
+        from boosted_detr_tpu.models.panoptic import (DETRPanoptic,
+                                                      make_panoptic_train_step)
+
+        model = DETRPanoptic(cfg, mask_size=mask_size)
+        make_step = functools.partial(make_panoptic_train_step, model)
+        tcfg0 = TrainConfig(optimizer="adamw", learning_rate=args.lr,
+                            lr_schedule="constant", clipnorm=0.0,
+                            batch_size=args.batch_size)
+        train_step = make_step(tcfg0)
+    elif family == "boosted":
+        from boosted_detr_tpu.models.boosted import BoostedDETR
+
+        model = BoostedDETR(cfg)
+        tcfg0 = TrainConfig(optimizer="adamw", learning_rate=args.lr,
+                            lr_schedule="constant", clipnorm=0.0,
+                            batch_size=args.batch_size,
+                            use_intermediate_losses=True)
+        train_step = steps.make_train_step(model, cfg, tcfg0)
+    else:
+        from boosted_detr_tpu.models.detr import DETR
+
+        model = DETR(cfg)
+        tcfg0 = TrainConfig(optimizer="adamw", learning_rate=args.lr,
+                            lr_schedule="constant", clipnorm=0.0,
+                            batch_size=args.batch_size)
+        train_step = steps.make_train_step(model, cfg, tcfg0)
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    stacked["image"][0])
+    state = steps.TrainState.create(
+        variables["params"], variables["batch_stats"],
+        steps.make_optimizer(tcfg0, d_model=cfg.decoder_dim))
+
+    # data as ARGUMENT, not closure: baked-in constants blow up the tunnel's
+    # remote-compile payload (HTTP 413; see train_flagship_tpu.py)
+    @functools.partial(jax.jit, static_argnums=3)
+    def run(state, data, offset, n):
+        def body(carry, i):
+            st, _ = carry
+            step = offset + i
+            batch = {k: jax.lax.dynamic_index_in_dim(v, step % n_b, axis=0,
+                                                     keepdims=False)
+                     for k, v in data.items()}
+            st, aux = train_step(st, batch, jax.random.fold_in(
+                jax.random.PRNGKey(0), step))
+            return (st, aux["loss"]), aux["loss"]
+
+        (state, _), losses = jax.lax.scan(body, (state, jnp.float32(0)),
+                                          jnp.arange(n))
+        return state, losses
+
+    parts = []
+    total_done = 0
+
+    def run_phase(state, n_steps):
+        nonlocal total_done
+        done = 0
+        while done < n_steps:
+            n = min(args.chunk, n_steps - done)
+            state, part = run(state, stacked, jnp.int32(total_done), n)
+            parts.append(np.asarray(part))  # host fetch = dispatch barrier
+            done += n
+            total_done += n
+        return state
+
+    t0 = time.time()
+    state = run_phase(state, args.steps)
+    if args.lr2 and args.steps2:
+        tcfg2 = tcfg0.replace(learning_rate=args.lr2)
+        if family == "panoptic":
+            train_step = make_step(tcfg2)
+        else:
+            train_step = steps.make_train_step(model, cfg, tcfg2)
+        # the fresh optimizer tx is a static TrainState field -> new treedef
+        # -> the next run() call retraces and picks up the rebound train_step
+        state = steps.TrainState.create(
+            state.params, state.batch_stats,
+            steps.make_optimizer(tcfg2, d_model=cfg.decoder_dim))
+        state = run_phase(state, args.steps2)
+    losses = np.concatenate(parts)
+    dt = time.time() - t0
+    marks = [losses[int(f * (len(losses) - 1))]
+             for f in (0, .25, .5, .75, 1.0)]
+    print(f"[{name}] {len(losses)} steps in {dt:.0f}s; loss "
+          + " -> ".join(f"{m:.1f}" for m in marks), flush=True)
+
+    predict = jax.jit(steps.make_predict_step(model))
+
+    def eval_split(data, n_batches):
+        return metrics_lib.evaluate_map_fn(
+            lambda image: jax.tree.map(np.asarray, predict(state, image)),
+            ({k: np.asarray(v[i]) for k, v in data.items()}
+             for i in range(n_batches)),
+            cfg.image_size)
+
+    train_m = eval_split(stacked, n_b)
+    val_m = eval_split(val_stacked, n_vb)
+    result = {
+        "variant": name, "steps": int(len(losses)),
+        "train_mAP": round(train_m["mAP"], 4),
+        "train_mAP50": round(train_m["mAP50"], 4),
+        "val_mAP": round(val_m["mAP"], 4),
+        "val_mAP50": round(val_m["mAP50"], 4),
+        "val_mAP75": round(val_m["mAP75"], 4),
+        "val_mAP_small": round(val_m.get("mAP_small", 0.0), 4),
+        "val_mAP_medium": round(val_m.get("mAP_medium", 0.0), 4),
+        "val_mAP_large": round(val_m.get("mAP_large", 0.0), 4),
+        "final_loss": round(float(losses[-1]), 3),
+        "train_seconds": round(dt, 1),
+    }
+    print("VAL_SUITE " + json.dumps(result), flush=True)
+    return result
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--variant", nargs="+", default=["flagship"],
+                        choices=sorted(VARIANTS))
+    parser.add_argument("--images", type=int, default=256)
+    parser.add_argument("--val-images", type=int, default=64)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--steps", type=int, default=6000)
+    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--lr2", type=float, default=3e-5)
+    parser.add_argument("--steps2", type=int, default=2000)
+    parser.add_argument("--chunk", type=int, default=1000,
+                        help="max steps per dispatch (tunnel worker crashes "
+                             "past ~60s in one dispatch)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="tiny-geometry CPU sanity mode")
+    parser.add_argument("--quick", action="store_true",
+                        help="few steps / few images (sanity)")
+    args = parser.parse_args()
+    if args.quick:
+        args.images, args.val_images = 16, 8
+        args.steps, args.steps2 = 60, 0
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    results = [run_variant(name, args) for name in args.variant]
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

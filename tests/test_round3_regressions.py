@@ -1,0 +1,351 @@
+"""Regression tests for the round-3 VERDICT/ADVICE findings.
+
+Covers: mAP area-range source (VERDICT r2 weak #1), panoptic mask
+augmentation (weak #2), grain loader parity (weak #3), hungarian_host
+TPU fail-fast (next-round #9), and the pipeline ADVICE findings (multi-host
+remainder rotation, too-small dataset error, per-feed iscrowd key).
+"""
+
+import numpy as np
+import pytest
+
+from boosted_detr_tpu.data import augment, masks as masks_lib
+from boosted_detr_tpu.data.codec import TextCodec
+from boosted_detr_tpu.data.datasets import SyntheticShapes
+from boosted_detr_tpu.data.pipeline import Pipeline
+from boosted_detr_tpu.train import metrics
+
+
+def _synth_pipe(num_images=10, image_size=32, max_objects=3, seed=0,
+                mask_size=None):
+    ds = SyntheticShapes(num_images=num_images, image_size=image_size,
+                         max_objects=max_objects, seed=seed)
+    df = ds.dataframes("train")
+    codec = TextCodec(ds.get_vocab())
+    pipe = Pipeline((image_size, image_size), max_objects, codec,
+                    dataset=ds, mask_size=mask_size)
+    return ds, df, pipe
+
+
+# ---------------------------------------------------------------------------
+# pipeline: area / orig_size emission
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_emits_area_and_orig_size():
+    ds, df, pipe = _synth_pipe()
+    batch = next(pipe.batches(df, batch_size=4, shuffle=False))
+    assert batch["orig_size"].shape == (4, 2)
+    assert np.all(batch["orig_size"] == 32)  # synthetic originals are 32x32
+    assert batch["area"].shape == (4, 3)
+    # fallback areas = normalized w*h * orig pixel count
+    for i in range(4):
+        n = int(batch["num_objects"][i])
+        want = batch["bbox"][i, :n, 2] * batch["bbox"][i, :n, 3] * 32 * 32
+        assert np.allclose(batch["area"][i, :n], want, atol=1e-4)
+        assert np.all(batch["area"][i, n:] == 0)
+
+
+def test_pipeline_prefers_annotation_area():
+    """COCO rows carry a per-object `area` (segmentation area); the batch
+    must use it, not the box w*h."""
+    import pandas as pd
+
+    rows = [{
+        "id_num": 0, "image_path": "synthetic://train/0",
+        "width": 200, "height": 100, "num_boxes": 2,
+        "bbox": [[0.1, 0.1, 0.2, 0.2], [0.5, 0.5, 0.2, 0.2]],
+        "category": [["red"], ["red"]], "attribute": [["<PAD>"], ["<PAD>"]],
+        "area": [123.0, None],  # second falls back to box area
+    }]
+    ds = SyntheticShapes(num_images=1, image_size=32, seed=0)
+    ds.dataframes("train")
+    pipe = Pipeline((32, 32), 3, TextCodec(ds.get_vocab()), dataset=ds)
+    batch = next(pipe.batches(pd.DataFrame(rows), batch_size=1,
+                              shuffle=False))
+    assert np.allclose(batch["orig_size"][0], [100, 200])
+    assert np.isclose(batch["area"][0, 0], 123.0)
+    assert np.isclose(batch["area"][0, 1], 0.2 * 0.2 * 200 * 100)
+
+
+def test_iscrowd_key_decided_per_feed_not_per_batch():
+    """ADVICE r2: a dataframe where only SOME rows carry iscrowd must yield
+    batches with IDENTICAL key sets (scan_steps stacking requires one pytree
+    structure per feed)."""
+    import pandas as pd
+
+    mk = lambda i, crowd: {
+        "id_num": i, "image_path": "synthetic://train/0",
+        "width": 32, "height": 32, "num_boxes": 1,
+        "bbox": [[0.1, 0.1, 0.2, 0.2]], "category": [["red"]],
+        "attribute": [["<PAD>"]], **({"iscrowd": [1]} if crowd else {}),
+    }
+    df = pd.DataFrame([mk(0, True), mk(1, False), mk(2, False), mk(3, False)])
+    ds = SyntheticShapes(num_images=1, image_size=32, seed=0)
+    ds.dataframes("train")
+    pipe = Pipeline((32, 32), 2, TextCodec(ds.get_vocab()), dataset=ds)
+    keysets = [frozenset(b) for b in pipe.batches(df, batch_size=2,
+                                                  shuffle=False)]
+    assert len(keysets) == 2
+    assert keysets[0] == keysets[1]
+    assert "iscrowd" in keysets[0]
+
+
+# ---------------------------------------------------------------------------
+# pipeline: multi-host feed fixes (ADVICE r2)
+# ---------------------------------------------------------------------------
+
+
+def test_multihost_excluded_remainder_rotates_across_epochs():
+    """With 10 rows / batch 2 / 2 processes, 8 rows fit per epoch; the
+    shared pre-truncation shuffle must rotate WHICH 2 are excluded."""
+    ds, df, pipe = _synth_pipe(num_images=10)
+    seen_per_epoch = []
+    for epoch in range(5):
+        ids = []
+        counts = []
+        for proc in range(2):
+            got = list(pipe.batches(df, batch_size=2, shuffle=True, seed=7,
+                                    epoch=epoch, process_index=proc,
+                                    process_count=2))
+            counts.append(len(got))
+            ids.extend(int(i) for b in got for i in b["image_id"])
+        assert counts[0] == counts[1] == 2  # equal batch counts (collective)
+        assert len(ids) == len(set(ids)) == 8  # hosts see disjoint rows
+        seen_per_epoch.append(set(ids))
+    union = set().union(*seen_per_epoch)
+    assert union == set(range(10)), (
+        f"rows {set(range(10)) - union} were permanently excluded")
+
+
+def test_multihost_dataset_smaller_than_global_batch_raises():
+    ds, df, pipe = _synth_pipe(num_images=3)
+    with pytest.raises(ValueError, match="global batch"):
+        next(pipe.batches(df, batch_size=2, process_index=0,
+                          process_count=2))
+
+
+# ---------------------------------------------------------------------------
+# mAP: original-image-scale area ranges (VERDICT r2 weak #1)
+# ---------------------------------------------------------------------------
+
+# Hand-derived pycocotools fixture: one 100x200 (h, w) original image, one
+# class. gt1 20x10px box with annotation area 200 (small); gt2 50x40px box,
+# annotation area 2000 (medium). Detections: a 10x5px false positive at
+# score .95, then perfect matches of gt1 (.90) and gt2 (.80).
+#   all:    order FP,TP,TP -> precision envelope 2/3 everywhere -> mAP 2/3
+#   small:  gt1 valid; FP in range first, then TP -> AP .5; det2 ignored
+#           (matched to out-of-range gt2)
+#   medium: gt2 valid; FP out of range+unmatched -> ignored; det1 ignored
+#           (matched to ignored gt1) -> AP 1.0
+#   large:  no valid gts -> undefined -> reported 0.0
+_H, _W = 100, 200
+_GT_BOXES_N = np.array([[0.0, 0.0, 0.1, 0.1],      # 20x10 px
+                        [0.5, 0.5, 0.25, 0.4]], np.float32)  # 50x40 px
+_GT_AREAS = np.array([200.0, 2000.0], np.float32)
+_DET_BOXES_N = np.array([[0.0, 0.5, 0.05, 0.05],   # FP, 10x5 px
+                         [0.0, 0.0, 0.1, 0.1],
+                         [0.5, 0.5, 0.25, 0.4]], np.float32)
+_DET_SCORES = np.array([0.95, 0.90, 0.80], np.float32)
+
+
+def test_area_ranges_use_original_scale_and_annotation_area():
+    s = np.array([_W, _H, _W, _H], np.float32)
+    preds = [{"boxes": _DET_BOXES_N * s, "scores": _DET_SCORES,
+              "labels": np.array([2, 2, 2])}]
+    gts = [{"boxes": _GT_BOXES_N * s, "labels": np.array([2, 2]),
+            "area": _GT_AREAS}]
+    r = metrics.compute_map(preds, gts)
+    assert np.isclose(r["mAP"], 2 / 3, atol=1e-6)
+    assert np.isclose(r["mAP_small"], 0.5, atol=1e-6)
+    assert np.isclose(r["mAP_medium"], 1.0, atol=1e-6)
+    assert np.isclose(r["mAP_large"], 0.0, atol=1e-6)
+    assert np.isclose(r["AR_small"], 1.0, atol=1e-6)
+    assert np.isclose(r["AR_medium"], 1.0, atol=1e-6)
+
+
+def _fixture_batch_and_predict(with_orig=True):
+    """The same fixture flowing through the BATCH + evaluate_map_fn plumbing
+    (normalized boxes, model image size 64x64 square)."""
+    batch = {
+        "image": np.zeros((1, 64, 64, 3), np.float32),
+        "bbox": _GT_BOXES_N[None],
+        "category_ids": np.array([[2, 2]]),
+        "num_objects": np.array([2], np.int32),
+    }
+    if with_orig:
+        batch["orig_size"] = np.array([[_H, _W]], np.int32)
+        batch["area"] = _GT_AREAS[None]
+
+    def predict_fn(image):
+        cat = np.zeros((1, 3, 3), np.float32)  # [B, P, (PAD, OOV, cls2)]
+        cat[0, :, 2] = _DET_SCORES
+        return {"category": cat, "boxes": _DET_BOXES_N[None],
+                "attribute": np.zeros((1, 3, 1), np.float32)}
+
+    return batch, predict_fn
+
+
+def test_evaluate_map_fn_plumbs_orig_size_and_area():
+    batch, predict_fn = _fixture_batch_and_predict(with_orig=True)
+    r = metrics.evaluate_map_fn(predict_fn, [batch], (64, 64))
+    assert np.isclose(r["mAP_small"], 0.5, atol=1e-6)
+    assert np.isclose(r["mAP_medium"], 1.0, atol=1e-6)
+    # without the orig_size/area plumbing the square-resized box areas put
+    # BOTH gts in 'small' — the buckets genuinely differ
+    batch_old, _ = _fixture_batch_and_predict(with_orig=False)
+    r_old = metrics.evaluate_map_fn(predict_fn, [batch_old], (64, 64))
+    assert np.isclose(r_old["mAP_small"], 2 / 3, atol=1e-6)
+    assert np.isclose(r_old["mAP_medium"], 0.0, atol=1e-6)
+
+
+def test_map_invariant_to_detection_permutation(rng):
+    """Randomized invariance: reordering detections (distinct scores) must
+    not change any metric (stable sort by score restores the order)."""
+    n_img, n_det = 4, 12
+    preds, gts = [], []
+    # globally distinct scores: score ties are broken by input order in the
+    # COCO protocol (stable mergesort), so ties across images are genuinely
+    # order-dependent — in pycocotools too
+    all_scores = rng.permutation(
+        np.linspace(0.1, 0.99, n_img * n_det)).astype(np.float32)
+    for i in range(n_img):
+        scores = all_scores[i * n_det:(i + 1) * n_det]
+        preds.append({
+            "boxes": rng.uniform(0, 50, (n_det, 4)).astype(np.float32),
+            "scores": scores,
+            "labels": rng.integers(2, 5, n_det)})
+        n_gt = int(rng.integers(1, 5))
+        gts.append({
+            "boxes": rng.uniform(0, 50, (n_gt, 4)).astype(np.float32),
+            "labels": rng.integers(2, 5, n_gt),
+            "area": rng.uniform(10, 10000, n_gt).astype(np.float32)})
+    base = metrics.compute_map(preds, gts)
+    perm_preds = []
+    for p in preds:
+        order = rng.permutation(len(p["scores"]))
+        perm_preds.append({k: v[order] for k, v in p.items()})
+    permuted = metrics.compute_map(perm_preds, gts)
+    for k in base:
+        if k == "per_class":
+            continue
+        assert np.isclose(base[k], permuted[k], atol=1e-9), k
+    image_order = rng.permutation(n_img)
+    shuffled = metrics.compute_map([preds[i] for i in image_order],
+                                   [gts[i] for i in image_order])
+    for k in base:
+        if k == "per_class":
+            continue
+        assert np.isclose(base[k], shuffled[k], atol=1e-9), k
+
+
+# ---------------------------------------------------------------------------
+# augmentation: panoptic masks warped with image/boxes (VERDICT r2 weak #2)
+# ---------------------------------------------------------------------------
+
+
+def test_augment_warps_masks_consistently_with_boxes():
+    import jax
+
+    S = 64
+    boxes = np.array([[0.1, 0.2, 0.5, 0.4], [0.4, 0.5, 0.4, 0.35]],
+                     np.float32)
+    masks = np.stack([masks_lib.box_to_mask(b, S) for b in boxes])
+    batch = {"image": np.random.default_rng(0).uniform(
+                 0, 1, (1, 64, 64, 3)).astype(np.float32),
+             "bbox": boxes[None], "masks": masks[None],
+             "num_objects": np.array([2], np.int32)}
+    def iou(a, b):
+        a, b = a >= 0.5, b >= 0.5
+        inter = float(np.sum(a & b))
+        union = float(np.sum(a | b))
+        return inter / max(union, 1.0)
+
+    fn = jax.jit(augment.augment_batch)
+    moved = 0  # keys where the affine actually displaced the boxes
+    for key in range(16):
+        aug = fn(jax.random.PRNGKey(key), batch)
+        new_boxes = np.asarray(aug["bbox"][0])
+        new_masks = np.asarray(aug["masks"][0])
+        assert new_masks.shape == masks.shape
+        for j in range(2):
+            expect = masks_lib.box_to_mask(new_boxes[j], S)
+            warped_iou = iou(new_masks[j], expect)
+            stale_iou = iou(masks[j], expect)
+            assert warped_iou > 0.75, (key, j, warped_iou)
+            if stale_iou < 0.8:  # a real shift: stale masks would misalign
+                moved += 1
+                assert warped_iou > stale_iou, (key, j, warped_iou,
+                                                stale_iou)
+    assert moved >= 3, "augmentation never displaced the boxes — weak test"
+
+
+# ---------------------------------------------------------------------------
+# grain loader parity (VERDICT r2 weak #3) + panoptic fit via grain
+# ---------------------------------------------------------------------------
+
+
+def test_grain_source_emits_masks_iscrowd_area():
+    pytest.importorskip("grain")
+    import pandas as pd
+
+    from boosted_detr_tpu.data.grain_loader import make_grain_loader
+
+    ds, df, pipe = _synth_pipe(num_images=4, mask_size=8)
+    df = pd.DataFrame([{**r, "iscrowd": [0] * r["num_boxes"]}
+                       for r in df.to_dict("records")])
+    batch = next(make_grain_loader(df, pipe, batch_size=2, shuffle=False))
+    assert batch["masks"].shape == (2, 3, 8, 8)
+    assert batch["iscrowd"].shape == (2, 3)
+    assert batch["area"].shape == (2, 3)
+    assert batch["orig_size"].shape == (2, 2)
+    # content parity with the built-in feeder
+    ref = next(pipe.batches(df, batch_size=2, shuffle=False))
+    assert np.allclose(batch["masks"], ref["masks"])
+    assert np.allclose(batch["bbox"], ref["bbox"])
+
+
+@pytest.mark.slow
+def test_panoptic_fit_runs_off_grain_loader():
+    pytest.importorskip("grain")
+    from boosted_detr_tpu import api
+    from boosted_detr_tpu.config import TrainConfig
+    from boosted_detr_tpu.data.grain_loader import make_grain_loader
+
+    ds = SyntheticShapes(num_images=8, image_size=32, max_objects=2, seed=5)
+    df = ds.dataframes("train")
+    pano = api.DETRPanoptic(
+        vocab_dict=ds.get_vocab(), num_object_preds=6, image_size=(32, 32),
+        num_encoder_blocks=1, num_encoder_heads=2, encoder_dim=16,
+        num_decoder_blocks=2, num_decoder_heads=2, decoder_dim=16,
+        backbone="tiny", backbone_width=0.25, compute_dtype="float32",
+        max_objects=3, dropout_rate=0.0, num_panoptic_heads=2,
+        panoptic_dim=16)
+    pipe = pano.make_pipeline(dataset=ds)  # masks at the module's mask_size
+    sample = next(make_grain_loader(df, pipe, batch_size=4, shuffle=False))
+    assert "masks" in sample
+    pano.compile(sample_batch=sample, train_config=TrainConfig(
+        optimizer="adamw", learning_rate=2e-3, lr_schedule="constant",
+        clipnorm=0.0))
+    hist = pano.fit(
+        lambda: make_grain_loader(df, pipe, batch_size=4, seed=0), epochs=3)
+    assert np.isfinite(hist["loss"][-1])
+    assert hist["loss"][-1] < hist["loss"][0]
+
+
+# ---------------------------------------------------------------------------
+# hungarian_host: clear TPU fail-fast (VERDICT r2 next-round #9)
+# ---------------------------------------------------------------------------
+
+
+def test_hungarian_host_fails_fast_on_tpu(monkeypatch):
+    import jax
+    import jax.numpy as jnp
+
+    from boosted_detr_tpu.ops import matching
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    cost = jnp.zeros((2, 3, 4))
+    n = jnp.array([3, 2], jnp.int32)
+    with pytest.raises(ValueError, match="CPU-only"):
+        matching.solve_matching(cost, n, method="hungarian_host")

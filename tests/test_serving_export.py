@@ -43,9 +43,40 @@ def test_export_roundtrip_matches_trainer(tmp_path):
     # symbolic batch: a different batch size serves without re-export
     got2 = served(sample["image"][:2], decode_text=False)
     assert got2["boxes"].shape[0] == 2
-    # text decode path through the artifact's own codec
-    cats, atts, boxes = served(sample["image"])
+    # text decode path through the artifact's own codec: fixed 4-tuple with
+    # an extras dict (empty for a plain detection export)
+    cats, atts, boxes, extras = served(sample["image"])
     assert cats.shape == (4, 8) and isinstance(cats[0, 0], str)
+    assert extras == {}
+
+
+def test_early_exit_export_serves_runtime_threshold(tmp_path):
+    """VERDICT r2 #8: the StableHLO artifact serves the adaptive-depth
+    feature with a RUNTIME threshold argument."""
+    model, sample = _tiny_model()
+    path = str(tmp_path / "artifact_ee")
+    serving.export_serving(model.trainer, path, early_exit=True)
+
+    served = serving.load_serving(path)
+    # threshold 2.0: nothing can pass -> every image exits at the LAST block,
+    # and predictions match the plain forward exactly
+    got = served(sample["image"], decode_text=False, threshold=2.0)
+    assert np.all(got["exit_block"] == 1)  # 2 decoder blocks -> index 1
+    want = model.trainer.predict(sample["image"], decode_text=False)
+    for k in ("category", "attribute", "boxes"):
+        assert np.allclose(got[k], np.asarray(want[k]), atol=1e-5), k
+    # threshold 0.0: everything passes -> every image exits at block 0
+    got0 = served(sample["image"], decode_text=False, threshold=0.0)
+    assert np.all(got0["exit_block"] == 0)
+    assert not np.allclose(got0["category"], got["category"])
+    # decode path carries exit_block through the extras slot
+    cats, atts, boxes, extras = served(sample["image"], threshold=0.0)
+    assert np.all(extras["exit_block"] == 0)
+    # a plain export refuses a threshold instead of silently ignoring it
+    plain = str(tmp_path / "artifact_plain")
+    serving.export_serving(model.trainer, plain)
+    with pytest.raises(ValueError):
+        serving.load_serving(plain)(sample["image"], threshold=0.5)
 
 
 @pytest.mark.slow
@@ -64,7 +95,7 @@ jax.config.update("jax_platforms", "cpu")
 from boosted_detr_tpu.serving import load_serving
 served = load_serving({path!r})
 images = np.load({str(tmp_path / 'images.npy')!r})
-cats, atts, boxes = served(images)
+cats, atts, boxes, extras = served(images)
 assert boxes.shape == (4, 8, 4), boxes.shape
 print("SERVED", cats.shape)
 """
