@@ -92,11 +92,35 @@ def parse_xplane(logdir: str, n_steps: int, top: int):
         xspace.ParseFromString(f.read())
 
     op_time = collections.Counter()
+    path_time = collections.Counter()  # jax name-stack (tf_op stat) -> ms
     total = 0
     for plane in xspace.planes:
         if "TPU" not in plane.name:
             continue
-        ev_names = {i: m.name for i, m in plane.event_metadata.items()}
+        ev_meta = dict(plane.event_metadata.items())
+        ev_names = {i: m.name for i, m in ev_meta.items()}
+        stat_names = {i: m.name for i, m in plane.stat_metadata.items()}
+
+        def stat_str(st):
+            if st.str_value:
+                return st.str_value
+            if st.ref_value:  # string-table reference
+                return stat_names.get(st.ref_value, "?")
+            return "?"
+
+        def tf_op_of(ev):
+            # the jax name-stack travels as the 'tf_op' stat, either on the
+            # event or on its event_metadata
+            for st in ev.stats:
+                if stat_names.get(st.metadata_id) == "tf_op":
+                    return stat_str(st)
+            meta = ev_meta.get(ev.metadata_id)
+            if meta is not None:
+                for st in meta.stats:
+                    if stat_names.get(st.metadata_id) == "tf_op":
+                        return stat_str(st)
+            return "?"
+
         for line in plane.lines:
             # 'XLA Ops' is the serialized execution timeline; 'Async XLA
             # Ops' are overlapping DMA spans (param prefetch) — they are
@@ -108,6 +132,7 @@ def parse_xplane(logdir: str, n_steps: int, top: int):
                 dur = ev.duration_ps / 1e9  # ms
                 op_time[name] += dur
                 total += dur
+                path_time[(tf_op_of(ev), name)] += dur
     per_step = {k: v / n_steps for k, v in op_time.items()}
     cats = collections.Counter()
     for name, ms in per_step.items():
@@ -128,6 +153,42 @@ def parse_xplane(logdir: str, n_steps: int, top: int):
     print("\n== device time by activation resolution (ms/step) ==")
     for tag, ms in buckets.most_common():
         print(f"  {tag:12s} {ms:8.3f}")
+
+    # component attribution from the jax name stack (the named_scope /
+    # flax-module paths in the 'tf_op' stat) — splits the 'non-spatial'
+    # bucket into transformer / matcher / loss / optimizer (VERDICT r2 #6)
+    COMPONENT_RULES = (
+        ("matcher", ("matcher", "hungarian", "lap_kernel")),
+        ("match_costs+loss", ("match_costs", "matching_loss", "exist_loss",
+                              "loss_reduce")),
+        ("optimizer", ("optimizer",)),
+        ("backbone", ("resnet", "/vit/", "effnet", "/tiny/", "EncoderBackbone")),
+        ("neck", ("neck",)),
+        ("det_transformer", ("encoder_", "decoder_", "DecoderPrep",
+                             "decoder_prep")),
+        ("heads", ("_head",)),
+    )
+
+    def component_of(path):
+        for comp, needles in COMPONENT_RULES:
+            if any(n in path for n in needles):
+                return comp
+        return "other"
+
+    comp_time = collections.Counter()
+    for (path, _name), ms in path_time.items():
+        comp_time[component_of(path)] += ms / n_steps
+    if len(comp_time) > 1 or "?" not in next(iter(path_time))[0]:
+        print("\n== device time by component (jax name stack, ms/step) ==")
+        for comp, ms in comp_time.most_common():
+            print(f"  {comp:18s} {ms:8.3f}")
+        other = collections.Counter()
+        for (path, _name), ms in path_time.items():
+            if component_of(path) == "other":
+                other[path] += ms / n_steps
+        print("  -- top 'other' paths --")
+        for path, ms in other.most_common(12):
+            print(f"    {ms:8.3f}  {path[:200]}")
 
     print(f"\n== top {top} ops (ms/step) ==")
     for name, ms in sorted(per_step.items(), key=lambda kv: -kv[1])[:top]:

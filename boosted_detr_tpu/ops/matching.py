@@ -402,17 +402,21 @@ def matching_loss(
     b, p_count, _ = cat_preds.shape
 
     # Pairwise weighted costs (reference: losses_and_metrics.py:119-126).
-    category_cost = weights.category * loss_ops.category_cost(
-        category_onehot, cat_preds)
-    attribute_cost = weights.attribute * loss_ops.attribute_cost(
-        attribute_multihot, attribute_preds)
-    box_cost = weights.box * loss_ops.pairwise(
-        functools.partial(loss_ops.box_loss,
-                          giou_weight=weights.giou, l2_weight=weights.l2),
-        bbox, box_preds)
+    # (named scopes mark the profiler's component attribution —
+    # benchmarks/profile_step.py splits the non-spatial bucket by op_name)
+    with jax.named_scope("match_costs"):
+        category_cost = weights.category * loss_ops.category_cost(
+            category_onehot, cat_preds)
+        attribute_cost = weights.attribute * loss_ops.attribute_cost(
+            attribute_multihot, attribute_preds)
+        box_cost = weights.box * loss_ops.pairwise(
+            functools.partial(loss_ops.box_loss,
+                              giou_weight=weights.giou, l2_weight=weights.l2),
+            bbox, box_preds)
 
     total_cost = category_cost + box_cost + attribute_cost
-    assignment_mask = solve_matching(total_cost, num_objects, matcher)
+    with jax.named_scope("matcher"):
+        assignment_mask = solve_matching(total_cost, num_objects, matcher)
     # [B, P] indicator of predictions that won an object
     # (reference: losses_and_metrics.py:209-210).
     assigned_predictions = jnp.max(assignment_mask, axis=-2)

@@ -35,6 +35,7 @@ VARIANTS = {
     "vit_p32": ("detr", dict(backbone="vit_p32",
                              use_pallas_attention=False)),
     "vit_p16": ("detr", dict(backbone="vit")),
+    "vit_p16_qk": ("detr", dict(backbone="vit_qk")),  # spike stabilizer
     "boosted": ("boosted", dict(backbone="resnet", stem="patchify8")),
     "panoptic": ("panoptic", dict(backbone="resnet", stem="patchify8")),
 }
@@ -60,8 +61,10 @@ def run_variant(name, args):
         overrides["backbone"] = "tiny"
         overrides["backbone_width"] = 0.5
 
-    ds = SyntheticShapes.hard(num_images=args.images, image_size=size,
-                              num_val_images=args.val_images, seed=0)
+    ds = SyntheticShapes(num_images=args.images, image_size=size,
+                         max_objects=args.max_objects, min_objects=1,
+                         size_range=(args.min_size, 0.6),
+                         num_val_images=args.val_images, seed=0)
     train_df = ds.dataframes("train")
     val_df = ds.dataframes("val")
     codec = TextCodec(ds.get_vocab())
@@ -71,7 +74,7 @@ def run_variant(name, args):
         matcher="hungarian" if args.cpu else "pallas", max_objects=8,
         num_categories=codec.vocab_size_dict()["category"],
         num_attributes=codec.vocab_size_dict()["attributes"],
-        dropout_rate=0.0, **overrides)
+        dropout_rate=args.dropout, **overrides)
     if args.cpu:
         cfg = cfg.replace(num_encoder_blocks=2, num_decoder_blocks=2,
                           encoder_dim=64, decoder_dim=64,
@@ -86,10 +89,23 @@ def run_variant(name, args):
         keys.append("masks")
 
     def stack(df):
+        """Stage batches into HBM; images as uint8 (4x smaller tunnel
+        transfer than f32 — the 256-image 640px stack is 1.26 GB in f32),
+        converted back to [0,1] f32 on device inside the scan body."""
         host = list(pipe.batches(df, batch_size=args.batch_size,
                                  shuffle=False, drop_remainder=True))
-        return {k: jnp.asarray(np.stack([b[k] for b in host]))
-                for k in keys}, len(host)
+        out = {}
+        for k in keys:
+            stacked_np = np.stack([b[k] for b in host])
+            if k == "image":
+                stacked_np = np.round(stacked_np * 255.0).astype(np.uint8)
+            out[k] = jnp.asarray(stacked_np)
+        return out, len(host)
+
+    def to_f32_image(batch):
+        batch = dict(batch)
+        batch["image"] = batch["image"].astype(jnp.float32) / 255.0
+        return batch
 
     stacked, n_b = stack(train_df)
     val_stacked, n_vb = stack(val_df)
@@ -124,11 +140,29 @@ def run_variant(name, args):
                             batch_size=args.batch_size)
         train_step = steps.make_train_step(model, cfg, tcfg0)
 
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                    stacked["image"][0])
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        stacked["image"][0].astype(jnp.float32) / 255.0)
     state = steps.TrainState.create(
         variables["params"], variables["batch_stats"],
         steps.make_optimizer(tcfg0, d_model=cfg.decoder_dim))
+
+    from boosted_detr_tpu.data import augment as augment_lib
+
+    def _augment(key, batch):
+        if args.augment_color:
+            return augment_lib.augment_batch(key, batch)
+        keys = jax.random.split(key, batch["image"].shape[0])
+        out = dict(batch)
+        if "masks" in batch:
+            im, bb, mk = jax.vmap(augment_lib.random_downsize_shift_pad)(
+                keys, batch["image"], batch["bbox"], batch["masks"])
+            out["masks"] = mk
+        else:
+            im, bb = jax.vmap(augment_lib.random_downsize_shift_pad)(
+                keys, batch["image"], batch["bbox"])
+        out["image"], out["bbox"] = im, bb
+        return out
 
     # data as ARGUMENT, not closure: baked-in constants blow up the tunnel's
     # remote-compile payload (HTTP 413; see train_flagship_tpu.py)
@@ -137,27 +171,42 @@ def run_variant(name, args):
         def body(carry, i):
             st, _ = carry
             step = offset + i
-            batch = {k: jax.lax.dynamic_index_in_dim(v, step % n_b, axis=0,
-                                                     keepdims=False)
-                     for k, v in data.items()}
+            batch = to_f32_image(
+                {k: jax.lax.dynamic_index_in_dim(v, step % n_b, axis=0,
+                                                 keepdims=False)
+                 for k, v in data.items()})
+            if args.augment:
+                # on-device augmentation INSIDE the compiled scan (the
+                # whole point of the jittable augment_batch): random
+                # shrink-shift-pad (+ color when --augment-color) per step —
+                # the generalization lever a fixed batch set lacks. Color
+                # jitter is OFF by default here: SyntheticShapes categories
+                # ARE colors, so color augmentation is label noise on this
+                # particular dataset (it is fine on real photos).
+                batch = _augment(
+                    jax.random.fold_in(jax.random.PRNGKey(7), step), batch)
             st, aux = train_step(st, batch, jax.random.fold_in(
                 jax.random.PRNGKey(0), step))
-            return (st, aux["loss"]), aux["loss"]
+            return (st, aux["loss"]), aux
 
-        (state, _), losses = jax.lax.scan(body, (state, jnp.float32(0)),
-                                          jnp.arange(n))
-        return state, losses
+        aux0 = jnp.float32(0)
+        (state, _), auxes = jax.lax.scan(body, (state, aux0),
+                                         jnp.arange(n))
+        return state, auxes
 
     parts = []
+    last_aux = {}
     total_done = 0
 
     def run_phase(state, n_steps):
-        nonlocal total_done
+        nonlocal total_done, last_aux
         done = 0
         while done < n_steps:
             n = min(args.chunk, n_steps - done)
-            state, part = run(state, stacked, jnp.int32(total_done), n)
-            parts.append(np.asarray(part))  # host fetch = dispatch barrier
+            state, auxes = run(state, stacked, jnp.int32(total_done), n)
+            # host fetch = dispatch barrier
+            last_aux = {k: float(np.asarray(v)[-1]) for k, v in auxes.items()}
+            parts.append(np.asarray(auxes["loss"]))
             done += n
             total_done += n
         return state
@@ -182,14 +231,20 @@ def run_variant(name, args):
              for f in (0, .25, .5, .75, 1.0)]
     print(f"[{name}] {len(losses)} steps in {dt:.0f}s; loss "
           + " -> ".join(f"{m:.1f}" for m in marks), flush=True)
+    print(f"[{name}] final terms: " + "  ".join(
+        f"{k}={v:.3f}" for k, v in sorted(last_aux.items())), flush=True)
 
     predict = jax.jit(steps.make_predict_step(model))
 
     def eval_split(data, n_batches):
+        def host_batch(i):
+            b = {k: np.asarray(v[i]) for k, v in data.items()}
+            b["image"] = b["image"].astype(np.float32) / 255.0
+            return b
+
         return metrics_lib.evaluate_map_fn(
             lambda image: jax.tree.map(np.asarray, predict(state, image)),
-            ({k: np.asarray(v[i]) for k, v in data.items()}
-             for i in range(n_batches)),
+            (host_batch(i) for i in range(n_batches)),
             cfg.image_size)
 
     train_m = eval_split(stacked, n_b)
@@ -225,6 +280,19 @@ def main():
     parser.add_argument("--chunk", type=int, default=1000,
                         help="max steps per dispatch (tunnel worker crashes "
                              "past ~60s in one dispatch)")
+    parser.add_argument("--dropout", type=float, default=0.1,
+                        help="dropout rate (reference trains with 0.1; 0 "
+                             "turns the suite into an overfit drive)")
+    parser.add_argument("--augment", type=int, default=1,
+                        help="1 = on-device augmentation inside the scan")
+    parser.add_argument("--augment-color", type=int, default=0,
+                        help="1 = also color-jitter (label noise on "
+                             "SyntheticShapes: categories ARE colors)")
+    parser.add_argument("--max-objects", type=int, default=5,
+                        help="objects per image drawn from [1, N]")
+    parser.add_argument("--min-size", type=float, default=0.08,
+                        help="min normalized box side (0.08 = 51px at "
+                             "640: >= ~2 stride-32 tokens)")
     parser.add_argument("--cpu", action="store_true",
                         help="tiny-geometry CPU sanity mode")
     parser.add_argument("--quick", action="store_true",
