@@ -41,8 +41,9 @@ def run_profiled_steps(batch_size: int, n_steps: int, logdir: str):
 
     cfg = ModelConfig(image_size=(640, 640), backbone="resnet",
                       compute_dtype="bfloat16", max_objects=32,
-                      matcher="pallas", stem=os.environ.get(
-                          "PROFILE_STEM", "patchify8"))  # bench.py flagship
+                      matcher="pallas",
+                      stem=os.environ.get("PROFILE_STEM", "patchify8"),
+                      norm=os.environ.get("PROFILE_NORM", "batchnorm"))
     tcfg = TrainConfig(batch_size=batch_size)
     model = DETR(cfg)
     h, w = cfg.image_size

@@ -97,7 +97,10 @@ class ModelConfig:
     # auction / greedy (approximate) | hungarian_host (scipy; CPU only)
     matcher: str = "hungarian"
     use_pallas_attention: bool = False
-    norm: str = "batchnorm"  # batchnorm | groupnorm (parity flag, SURVEY §7)
+    # batchnorm | groupnorm (parity flag, SURVEY §7) | skipinit (norm-free:
+    # weight-standardized convs + zero-init residual gains — no activation
+    # stats passes, designed for the 80px BatchNorm HBM roofline)
+    norm: str = "batchnorm"
 
     # --- reference-quirk compatibility flags (SURVEY §7 "quirk management") ---
     # Post-softmax multiplicative attention masking without renorm

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Any, Callable, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from boosted_detr_tpu.models.layers import (MultiheadAttention,
@@ -49,13 +50,53 @@ def make_norm(norm: str, train: bool, dtype: jnp.dtype,
     """BatchNorm (Keras-default momentum .99 / eps 1e-3) or GroupNorm — the
     parity flag for BatchNorm-under-pjit concerns (SURVEY §7 hard-part 3).
     Under jit/GSPMD the batch axis is global, so BatchNorm stats are
-    cross-replica automatically."""
+    cross-replica automatically. ``skipinit`` removes activation
+    normalization entirely (see ``ResNetBackbone``): convs are
+    weight-standardized instead, so this returns identity."""
     if norm == "batchnorm":
         return nn.BatchNorm(use_running_average=not train, momentum=0.99,
                             epsilon=1e-3, dtype=dtype, name=name)
     if norm == "groupnorm":
         return _AdaptiveGroupNorm(dtype, name=name)
+    if norm == "skipinit":
+        return lambda x: x
     raise ValueError(f"unknown norm '{norm}'")
+
+
+class WSConv(nn.Module):
+    """Weight-standardized conv (Qiao et al.; Brock et al. NF-ResNets): the
+    kernel is standardized over its fan-in at use time and scaled by a
+    learned per-output-channel gain. Parameter-sized math only — the
+    activation tensor is touched ONCE, which is the whole point: a training
+    BatchNorm forces two extra passes over the activation (stats reduce +
+    normalize), and at 80x80x512/bs8 those passes are the flagship's HBM
+    roofline (benchmarks/RESULTS.md)."""
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    groups: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel
+        in_feats = x.shape[-1] // self.groups
+        kernel = self.param("kernel", nn.initializers.he_normal(),
+                            (kh, kw, in_feats, self.features), jnp.float32)
+        gain = self.param("gain", nn.initializers.ones, (self.features,),
+                          jnp.float32)
+        fan_in = kh * kw * in_feats
+        mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
+        var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
+        # NF scaling: unit-variance outputs at init regardless of fan-in
+        w = (kernel - mean) * jax.lax.rsqrt(var * fan_in + 1e-4)
+        w = (w * gain).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w, window_strides=self.strides,
+            padding="SAME", feature_group_count=self.groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype)
 
 
 class ConvNormAct(nn.Module):
@@ -69,10 +110,16 @@ class ConvNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        x = nn.Conv(self.features, self.kernel, self.strides, padding="SAME",
-                    use_bias=False, feature_group_count=self.groups,
-                    dtype=self.dtype, name="conv")(x)
-        x = make_norm(self.norm, train, self.dtype, "norm")(x)
+        if self.norm == "skipinit":
+            # norm-free path: weight-standardized conv, no activation norm
+            x = WSConv(self.features, self.kernel, self.strides, self.groups,
+                       self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(self.features, self.kernel, self.strides,
+                        padding="SAME", use_bias=False,
+                        feature_group_count=self.groups,
+                        dtype=self.dtype, name="conv")(x)
+            x = make_norm(self.norm, train, self.dtype, "norm")(x)
         return self.act(x) if self.act is not None else x
 
 
@@ -98,6 +145,13 @@ class BottleneckBlock(nn.Module):
             residual = ConvNormAct(self.features, (1, 1), self.strides,
                                    norm=self.norm, act=None, dtype=self.dtype,
                                    name="proj")(x, train=train)
+        if self.norm == "skipinit":
+            # SkipInit (De & Smith 2020): zero-init scalar on the residual
+            # branch restores BN's identity-at-init property, which is what
+            # lets deep norm-free ResNets train stably.
+            gain = self.param("skip_gain", nn.initializers.zeros, (),
+                              jnp.float32)
+            y = y * gain.astype(y.dtype)
         return nn.relu(y + residual)
 
 
@@ -424,10 +478,14 @@ class BackboneNeck(nn.Module):
 
     @nn.compact
     def __call__(self, features, *, train: bool = False):
-        x = make_norm(self.norm, train, self.dtype, "norm1")(features)
+        # skipinit backbones still need conditioning before the tanh: use
+        # GroupNorm here (the neck's 20x20 activations are tiny — the BN
+        # traffic being designed out lives at 80x80/40x40, not here)
+        norm = "groupnorm" if self.norm == "skipinit" else self.norm
+        x = make_norm(norm, train, self.dtype, "norm1")(features)
         x = nn.Conv(self.encoder_dim, (1, 1),
                     kernel_init=nn.initializers.lecun_normal(),
                     dtype=self.dtype, name="conv")(x)
         x = jnp.tanh(x)
-        x = make_norm(self.norm, train, self.dtype, "norm2")(x)
+        x = make_norm(norm, train, self.dtype, "norm2")(x)
         return x

@@ -30,6 +30,10 @@ sys.path.insert(0, ".")
 VARIANTS = {
     # name -> (model_family, config overrides)
     "flagship": ("detr", dict(backbone="resnet", stem="patchify8")),
+    # norm-free flagship: weight-standardized convs + SkipInit residual
+    # gains (no BatchNorm stats passes — the 80px HBM roofline candidate)
+    "skipinit": ("detr", dict(backbone="resnet", stem="patchify8",
+                              norm="skipinit")),
     "conv7": ("detr", dict(backbone="resnet", stem="conv7")),
     "patchify": ("detr", dict(backbone="resnet", stem="patchify")),
     "vit_p32": ("detr", dict(backbone="vit_p32",
