@@ -21,6 +21,7 @@ target is vs_baseline > 10.
 from __future__ import annotations
 
 import json
+import os
 import time
 from functools import partial
 
@@ -46,7 +47,9 @@ def main():
                       # bounded the 4x4/s4 stem at 28.4 ms/step. Quality
                       # checked on synthetic shapes: mAP50 0.901 vs 0.909,
                       # mAP 0.517 vs 0.301 (better) — benchmarks/RESULTS.md.
-                      stem="patchify8")
+                      stem=os.environ.get("BENCH_STEM", "patchify8"),
+                      # BENCH_NORM=skipinit benches the norm-free variant
+                      norm=os.environ.get("BENCH_NORM", "batchnorm"))
     tcfg = TrainConfig(batch_size=batch_size)
     model = DETR(cfg)
 
