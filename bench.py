@@ -74,7 +74,7 @@ def main():
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch["image"])
     tx = steps.make_optimizer(tcfg, d_model=cfg.decoder_dim)
     state = steps.TrainState.create(variables["params"],
-                                    variables["batch_stats"], tx)
+                                    variables.get("batch_stats", {}), tx)
 
     train_step = steps.make_train_step(model, cfg, tcfg)
     predict_step = steps.make_predict_step(model)

@@ -64,7 +64,7 @@ def run_profiled_steps(batch_size: int, n_steps: int, logdir: str):
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch["image"])
     tx = steps.make_optimizer(tcfg, d_model=cfg.decoder_dim)
     state = steps.TrainState.create(variables["params"],
-                                    variables["batch_stats"], tx)
+                                    variables.get("batch_stats", {}), tx)
     step = jax.jit(steps.make_train_step(model, cfg, tcfg))
     key = jax.random.PRNGKey(0)
 
@@ -179,7 +179,8 @@ def parse_xplane(logdir: str, n_steps: int, top: int):
     comp_time = collections.Counter()
     for (path, _name), ms in path_time.items():
         comp_time[component_of(path)] += ms / n_steps
-    if len(comp_time) > 1 or "?" not in next(iter(path_time))[0]:
+    if path_time and (len(comp_time) > 1
+                      or "?" not in next(iter(path_time))[0]):
         print("\n== device time by component (jax name stack, ms/step) ==")
         for comp, ms in comp_time.most_common():
             print(f"  {comp:18s} {ms:8.3f}")

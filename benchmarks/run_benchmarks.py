@@ -31,7 +31,7 @@ def _chunked_train_time(model, cfg, tcfg, batch, n=10):
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch["image"])
     tx = steps.make_optimizer(tcfg, d_model=cfg.decoder_dim)
     state = steps.TrainState.create(variables["params"],
-                                    variables["batch_stats"], tx)
+                                    variables.get("batch_stats", {}), tx)
     train_step = steps.make_train_step(model, cfg, tcfg)
     key = jax.random.PRNGKey(0)
 
@@ -239,7 +239,7 @@ def bench_other_models():
         jnp.float32))
     variables = jax.jit(pano.init)(jax.random.PRNGKey(0), pbatch["image"])
     state = steps.TrainState.create(
-        variables["params"], variables["batch_stats"],
+        variables["params"], variables.get("batch_stats", {}),
         steps.make_optimizer(tcfg, d_model=cfg.decoder_dim))
     dt, loss = _chunked_step_time(make_panoptic_train_step(pano, tcfg),
                                   state, pbatch)
@@ -252,7 +252,7 @@ def bench_other_models():
     pre = DETRMultiClassifier(cfg, num_classifier_classes=cfg.num_categories)
     variables = jax.jit(pre.init)(jax.random.PRNGKey(0), batch["image"])
     state = steps.TrainState.create(
-        variables["params"], variables["batch_stats"],
+        variables["params"], variables.get("batch_stats", {}),
         steps.make_optimizer(tcfg, d_model=cfg.decoder_dim))
     dt, loss = _chunked_step_time(make_pretrain_step(pre), state, batch)
     print(json.dumps({

@@ -232,7 +232,7 @@ class DETR_MultiClassifier:
         tx = steps_lib.make_optimizer(
             tcfg, d_model=self.base_model.config.decoder_dim)
         self.state = steps_lib.TrainState.create(
-            variables["params"], variables["batch_stats"], tx)
+            variables["params"], variables.get("batch_stats", {}), tx)
         self._step = jax.jit(pt.make_pretrain_step(self.module))
         return self
 

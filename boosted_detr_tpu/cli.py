@@ -158,9 +158,12 @@ def cmd_train(args) -> int:
         # quality is measured on the HELD-OUT val split (train-split mAP is
         # an overfit measurement by construction, VERDICT r2 weak #7)
         val_df = _val_dataframe(args, dataset, df)
+        # drop_remainder=False: a val split smaller than (or not divisible
+        # by) the batch size must still evaluate every image
         result = metrics_lib.evaluate_map(
             model.trainer, pipe.batches(val_df, batch_size=tcfg.batch_size,
-                                        shuffle=False))
+                                        shuffle=False,
+                                        drop_remainder=False))
         print(f"val mAP: {result['mAP']:.4f}  mAP50: {result['mAP50']:.4f}")
     if args.save:
         model.save(args.save)

@@ -148,8 +148,9 @@ def transfer_to_detr(pretrainer_variables: Dict[str, Any],
     return {
         "params": merge(detr_variables["params"],
                         pretrainer_variables["params"]["detr"]),
-        "batch_stats": merge(detr_variables["batch_stats"],
-                             pretrainer_variables["batch_stats"]["detr"]),
+        "batch_stats": merge(
+            detr_variables.get("batch_stats", {}),
+            pretrainer_variables.get("batch_stats", {}).get("detr", {})),
     }
 
 
@@ -158,7 +159,7 @@ def load_from_detr(pretrainer_variables: Dict[str, Any],
     """Insert a standalone detector's variables into the pre-trainer tree."""
     out = jax.tree_util.tree_map(lambda x: x, pretrainer_variables)
     out["params"] = dict(out["params"])
-    out["batch_stats"] = dict(out["batch_stats"])
+    out["batch_stats"] = dict(out.get("batch_stats", {}))
     out["params"]["detr"] = detr_variables["params"]
-    out["batch_stats"]["detr"] = detr_variables["batch_stats"]
+    out["batch_stats"]["detr"] = detr_variables.get("batch_stats", {})
     return out

@@ -26,6 +26,8 @@ def main():
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--stem", default="patchify8")
     parser.add_argument("--backbone", default="resnet")
+    parser.add_argument("--norm", default="batchnorm",
+                        help="batchnorm | groupnorm | skipinit")
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--clipnorm", type=float, default=0.0)
     parser.add_argument("--schedule", default="constant",
@@ -56,6 +58,7 @@ def main():
     codec = TextCodec(ds.get_vocab())
     cfg = ModelConfig(
         image_size=(640, 640), backbone=args.backbone, stem=args.stem,
+        norm=args.norm,
         compute_dtype="bfloat16", matcher="pallas", max_objects=8,
         num_categories=codec.vocab_size_dict()["category"],
         num_attributes=codec.vocab_size_dict()["attributes"],
@@ -78,7 +81,7 @@ def main():
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                     stacked["image"][0])
     state = steps.TrainState.create(
-        variables["params"], variables["batch_stats"],
+        variables["params"], variables.get("batch_stats", {}),
         steps.make_optimizer(tcfg, d_model=cfg.decoder_dim))
     train_step = steps.make_train_step(model, cfg, tcfg)
 

@@ -2,11 +2,14 @@
 the HARD synthetic suite and report mAP on the DISJOINT val split.
 
 Every quality number reported before round 3 was a 16-image overfit; this
-harness is the generalization protocol: SyntheticShapes.hard() (256 train /
-64 val images, 2-8 overlapping objects, box sides 0.04-0.6 so areas span the
-COCO small/medium/large buckets at 640px), train with the device-resident
-scan harness (all data staged to HBM; chunked dispatches — the tunnel worker
-crashes past ~60s in one dispatch), then COCO mAP on train AND val.
+harness is the generalization protocol: a procedural SyntheticShapes suite
+with a DISJOINT val split (locked round-3 protocol: 1024 train / 64 val
+images, 1-5 overlapping objects, box sides 0.1-0.6; ``--hard`` selects the
+harder SyntheticShapes.hard() tier — 2-8 objects, sides 0.04-0.6 — which
+needs a far larger step budget than 30k to converge), trained with the
+device-resident scan harness (all data staged to HBM; chunked dispatches —
+the tunnel worker crashes past ~60s in one dispatch), then COCO mAP on
+train AND val.
 
 Mirrors the reference's only quality evidence: validation-image
 generalization (reference README.md:23-33).
@@ -22,10 +25,12 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 VARIANTS = {
     # name -> (model_family, config overrides)
@@ -65,10 +70,14 @@ def run_variant(name, args):
         overrides["backbone"] = "tiny"
         overrides["backbone_width"] = 0.5
 
-    ds = SyntheticShapes(num_images=args.images, image_size=size,
-                         max_objects=args.max_objects, min_objects=1,
-                         size_range=(args.min_size, 0.6),
-                         num_val_images=args.val_images, seed=0)
+    if args.hard:
+        ds = SyntheticShapes.hard(num_images=args.images, image_size=size,
+                                  num_val_images=args.val_images, seed=0)
+    else:
+        ds = SyntheticShapes(num_images=args.images, image_size=size,
+                             max_objects=args.max_objects, min_objects=1,
+                             size_range=(args.min_size, 0.6),
+                             num_val_images=args.val_images, seed=0)
     train_df = ds.dataframes("train")
     val_df = ds.dataframes("val")
     codec = TextCodec(ds.get_vocab())
@@ -148,7 +157,7 @@ def run_variant(name, args):
         jax.random.PRNGKey(0),
         stacked["image"][0].astype(jnp.float32) / 255.0)
     state = steps.TrainState.create(
-        variables["params"], variables["batch_stats"],
+        variables["params"], variables.get("batch_stats", {}),
         steps.make_optimizer(tcfg0, d_model=cfg.decoder_dim))
 
     from boosted_detr_tpu.data import augment as augment_lib
@@ -297,6 +306,9 @@ def main():
     parser.add_argument("--min-size", type=float, default=0.08,
                         help="min normalized box side (0.08 = 51px at "
                              "640: >= ~2 stride-32 tokens)")
+    parser.add_argument("--hard", action="store_true",
+                        help="use the SyntheticShapes.hard() tier (2-8 "
+                             "objects, sides 0.04-0.6; needs >>30k steps)")
     parser.add_argument("--cpu", action="store_true",
                         help="tiny-geometry CPU sanity mode")
     parser.add_argument("--quick", action="store_true",

@@ -394,3 +394,40 @@ def test_hungarian_host_fails_fast_on_tpu(monkeypatch):
     n = jnp.array([3, 2], jnp.int32)
     with pytest.raises(ValueError, match="CPU-only"):
         matching.solve_matching(cost, n, method="hungarian_host")
+
+
+# ---------------------------------------------------------------------------
+# round-3 self-review fixes: ragged val batches reach the evaluator, and
+# every driver tolerates a model with NO batch_stats collection (skipinit)
+# ---------------------------------------------------------------------------
+
+
+def test_val_split_smaller_than_batch_still_evaluates():
+    """cli --eval-map protocol: a 5-image val split with batch_size=8 must
+    produce one ragged batch (drop_remainder=False) and the evaluator must
+    see all 5 images — previously zero batches were yielded and mAP printed
+    as 0.0 regardless of model quality."""
+    ds, df, pipe = _synth_pipe(num_images=5)
+    batches = list(pipe.batches(df, batch_size=8, shuffle=False,
+                                drop_remainder=False))
+    assert len(batches) == 1 and batches[0]["image"].shape[0] == 5
+
+    gt_records = metrics.batch_to_ground_truth(batches[0])
+    assert len(gt_records) == 5  # every val image reaches the evaluator
+
+
+@pytest.mark.slow
+def test_val_suite_driver_runs_skipinit_variant():
+    """The val-suite driver (and, by the same .get('batch_stats', {})
+    pattern, bench/profile/flagship drivers) must run a norm-free model:
+    jax.jit(model.init) on norm='skipinit' returns NO batch_stats
+    collection, and variables["batch_stats"] used to KeyError."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "scripts/train_val_suite.py", "--cpu", "--quick",
+         "--variant", "skipinit"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "VAL_SUITE" in out.stdout
