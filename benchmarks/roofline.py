@@ -47,7 +47,9 @@ DEFAULT_MEASURED = {
 def cost_of(fn, *args):
     """Compile for the default backend (no execution) and return
     (flops, bytes_accessed) from XLA's post-fusion cost analysis."""
-    compiled = __import__("jax").jit(fn).lower(*args).compile()
+    import jax
+
+    compiled = jax.jit(fn).lower(*args).compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):  # older jax returns [dict]
         ca = ca[0]
@@ -243,10 +245,11 @@ def main():
                               d_model=cfg.decoder_dim)
     opt_state = jax.jit(tx.init)(variables["params"])
 
+    import optax
+
     def opt_step(params, opt_state):
         grads = jax.tree.map(lambda p: p * 1e-3, params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        import optax
         return optax.apply_updates(params, updates), opt_state
 
     rows.append(("optimizer",) + cost_of(opt_step, variables["params"],

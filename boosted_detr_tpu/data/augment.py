@@ -117,9 +117,8 @@ def augment_batch(key, batch: Dict[str, jnp.ndarray]) -> Dict:
     keys = jax.random.split(key, b)
     out = dict(batch)
     if "masks" in batch:
-        image, bbox, masks = jax.vmap(
-            lambda k, im, bb, mk: augment_one(k, im, bb, mk))(
-                keys, batch["image"], batch["bbox"], batch["masks"])
+        image, bbox, masks = jax.vmap(augment_one)(
+            keys, batch["image"], batch["bbox"], batch["masks"])
         out["masks"] = masks
     else:
         image, bbox = jax.vmap(augment_one)(keys, batch["image"],
