@@ -30,7 +30,8 @@ def categorize(name: str) -> str:
     return m.group(1) if m else name.split(" = ")[0].lstrip("%").split(".")[0]
 
 
-def run_profiled_steps(batch_size: int, n_steps: int, logdir: str):
+def run_profiled_steps(batch_size: int, n_steps: int, logdir: str,
+                       infer: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -65,8 +66,22 @@ def run_profiled_steps(batch_size: int, n_steps: int, logdir: str):
     tx = steps.make_optimizer(tcfg, d_model=cfg.decoder_dim)
     state = steps.TrainState.create(variables["params"],
                                     variables.get("batch_stats", {}), tx)
-    step = jax.jit(steps.make_train_step(model, cfg, tcfg))
     key = jax.random.PRNGKey(0)
+
+    if infer:
+        predict = jax.jit(steps.make_predict_step(model))
+        preds = predict(state, batch["image"])  # warmup/compile
+        print("warmup boxes sum", float(preds["boxes"].sum()))
+        jax.profiler.start_trace(logdir)
+        acc = jnp.float32(0)
+        for i in range(n_steps):
+            preds = predict(state, batch["image"] + acc * 1e-12 + i * 1e-6)
+            acc = preds["boxes"].sum()
+        print("profiled", n_steps, "inference steps, acc", float(acc))
+        jax.profiler.stop_trace()
+        return n_steps
+
+    step = jax.jit(steps.make_train_step(model, cfg, tcfg))
 
     # warmup/compile
     state, aux = step(state, batch, key)
@@ -203,9 +218,12 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--logdir", default=None)
+    ap.add_argument("--infer", action="store_true",
+                    help="profile the inference (predict) step instead of train")
     args = ap.parse_args()
     logdir = args.logdir or tempfile.mkdtemp(prefix="prof_")
-    n = run_profiled_steps(args.batch, args.steps, logdir)
+    n = run_profiled_steps(args.batch, args.steps, logdir,
+                           infer=args.infer)
     parse_xplane(logdir, n, args.top)
 
 
