@@ -224,19 +224,21 @@ def compute_map(predictions: Sequence[Dict[str, np.ndarray]],
                     ar[ti, ci, ai, mi] = rc[-1] if nd else 0.0
                     ap[ti, ci, ai, mi] = _interp_ap(rc, pr) if nd else 0.0
 
+    # pycocotools summarize() convention: a metric with no defined entries
+    # (no ground truth in the area range anywhere in the dataset) is -1.0.
     def mean_ap(t_sel=None, area="all", md=top_det):
         ai = list(ranges).index(area)
         mi = max_dets.index(md)
         sub = ap[:, :, ai, mi] if t_sel is None else ap[t_sel, :, ai, mi]
         valid = sub > -1
-        return float(sub[valid].mean()) if valid.any() else 0.0
+        return float(sub[valid].mean()) if valid.any() else -1.0
 
     def mean_ar(area="all", md=top_det):
         ai = list(ranges).index(area)
         mi = max_dets.index(md)
         sub = ar[:, :, ai, mi]
         valid = sub > -1
-        return float(sub[valid].mean()) if valid.any() else 0.0
+        return float(sub[valid].mean()) if valid.any() else -1.0
 
     i50 = int(np.argmin(np.abs(thresholds - 0.50)))
     i75 = int(np.argmin(np.abs(thresholds - 0.75)))

@@ -173,8 +173,9 @@ def naive_coco_map(predictions, ground_truths, max_det=100):
                     best_recall[(thr, cls, name)] = tp / n_gt
 
     def mean(vals):
+        # pycocotools summarize(): -1.0 when the metric is undefined
         vals = [v for v in vals if v is not None]
-        return float(np.mean(vals)) if vals else 0.0
+        return float(np.mean(vals)) if vals else -1.0
 
     out = {
         "mAP": mean([ap[(t, c, "all")] for t in thresholds

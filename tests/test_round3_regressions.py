@@ -138,7 +138,7 @@ def test_multihost_dataset_smaller_than_global_batch_raises():
 #           (matched to out-of-range gt2)
 #   medium: gt2 valid; FP out of range+unmatched -> ignored; det1 ignored
 #           (matched to ignored gt1) -> AP 1.0
-#   large:  no valid gts -> undefined -> reported 0.0
+#   large:  no valid gts -> undefined -> reported -1.0 (pycocotools)
 _H, _W = 100, 200
 _GT_BOXES_N = np.array([[0.0, 0.0, 0.1, 0.1],      # 20x10 px
                         [0.5, 0.5, 0.25, 0.4]], np.float32)  # 50x40 px
@@ -159,7 +159,7 @@ def test_area_ranges_use_original_scale_and_annotation_area():
     assert np.isclose(r["mAP"], 2 / 3, atol=1e-6)
     assert np.isclose(r["mAP_small"], 0.5, atol=1e-6)
     assert np.isclose(r["mAP_medium"], 1.0, atol=1e-6)
-    assert np.isclose(r["mAP_large"], 0.0, atol=1e-6)
+    assert np.isclose(r["mAP_large"], -1.0, atol=1e-6)  # no large gt
     assert np.isclose(r["AR_small"], 1.0, atol=1e-6)
     assert np.isclose(r["AR_medium"], 1.0, atol=1e-6)
 
@@ -196,7 +196,7 @@ def test_evaluate_map_fn_plumbs_orig_size_and_area():
     batch_old, _ = _fixture_batch_and_predict(with_orig=False)
     r_old = metrics.evaluate_map_fn(predict_fn, [batch_old], (64, 64))
     assert np.isclose(r_old["mAP_small"], 2 / 3, atol=1e-6)
-    assert np.isclose(r_old["mAP_medium"], 0.0, atol=1e-6)
+    assert np.isclose(r_old["mAP_medium"], -1.0, atol=1e-6)  # range empty
 
 
 def test_map_invariant_to_detection_permutation(rng):
