@@ -39,6 +39,12 @@ VARIANTS = {
     # gains (no BatchNorm stats passes — the 80px HBM roofline candidate)
     "skipinit": ("detr", dict(backbone="resnet", stem="patchify8",
                               norm="skipinit")),
+    # DETR-paper aux decoder supervision (shared heads, per-block
+    # matching) — the reference documents this standard-DETR regime at
+    # README.md:65 but hard-codes it off (model.py:179); here it is the
+    # quality lever measured by the round-3 val suite
+    "flagship_aux": ("detr", dict(backbone="resnet", stem="patchify8",
+                                  _aux_losses=True)),
     "conv7": ("detr", dict(backbone="resnet", stem="conv7")),
     "patchify": ("detr", dict(backbone="resnet", stem="patchify")),
     "vit_p32": ("detr", dict(backbone="vit_p32",
@@ -63,6 +69,8 @@ def run_variant(name, args):
     from boosted_detr_tpu.train import steps
 
     family, overrides = VARIANTS[name]
+    overrides = dict(overrides)
+    aux_losses = overrides.pop("_aux_losses", False)
     size = 64 if args.cpu else 640
     if args.cpu:
         overrides = dict(overrides)
@@ -150,7 +158,8 @@ def run_variant(name, args):
         model = DETR(cfg)
         tcfg0 = TrainConfig(optimizer="adamw", learning_rate=args.lr,
                             lr_schedule="constant", clipnorm=0.0,
-                            batch_size=args.batch_size)
+                            batch_size=args.batch_size,
+                            use_intermediate_losses=aux_losses)
         train_step = steps.make_train_step(model, cfg, tcfg0)
 
     variables = jax.jit(model.init)(
