@@ -109,27 +109,49 @@ def run_variant(name, args):
     if mask_size:
         keys.append("masks")
 
-    def stack(df):
+    def stack(df, split):
         """Stage batches into HBM; images as uint8 (4x smaller tunnel
         transfer than f32 — the 256-image 640px stack is 1.26 GB in f32),
-        converted back to [0,1] f32 on device inside the scan body."""
+        converted back to [0,1] f32 on device inside the scan body.
+
+        The rendered+batched stack is cached to /tmp: rendering 1024
+        640px images takes ~20 min of host time and the stack is
+        IDENTICAL across variants (seed 0, shuffle off), so a sweep
+        re-renders for nothing without the cache."""
+        tag = (f"{split}-{args.images}-{args.val_images}-{size}-"
+               f"{args.batch_size}-m{mask_size or 0}-{args.min_size}"
+               f"-{args.max_objects}-h{int(args.hard)}")
+        cache = os.path.join("/tmp/valsuite_cache", tag + ".npz")
+        if cache and os.path.exists(cache):
+            z = np.load(cache)
+            out = {k: jnp.asarray(z[k]) for k in z.files}
+            return out, int(out["image"].shape[0])
         host = list(pipe.batches(df, batch_size=args.batch_size,
                                  shuffle=False, drop_remainder=True))
-        out = {}
+        out_np = {}
         for k in keys:
             stacked_np = np.stack([b[k] for b in host])
             if k == "image":
                 stacked_np = np.round(stacked_np * 255.0).astype(np.uint8)
-            out[k] = jnp.asarray(stacked_np)
-        return out, len(host)
+            out_np[k] = stacked_np
+        if cache:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            tmp = cache + f".tmp{os.getpid()}.npz"
+            np.savez(tmp, **out_np)
+            os.replace(tmp, cache)
+        return {k: jnp.asarray(v) for k, v in out_np.items()}, len(host)
 
     def to_f32_image(batch):
         batch = dict(batch)
         batch["image"] = batch["image"].astype(jnp.float32) / 255.0
         return batch
 
-    stacked, n_b = stack(train_df)
-    val_stacked, n_vb = stack(val_df)
+    stacked, n_b = stack(train_df, "train")
+    val_stacked, n_vb = stack(val_df, "val")
+    if args.render_cache_only:
+        print(f"[{name}] caches written ({n_b} train / {n_vb} val batches)",
+              flush=True)
+        return {"variant": name, "cache_only": True}
     print(f"[{name}] {n_b} train / {n_vb} val device-resident batches; "
           f"train stack {stacked['image'].nbytes / 1e6:.0f} MB", flush=True)
 
@@ -322,11 +344,15 @@ def main():
                         help="tiny-geometry CPU sanity mode")
     parser.add_argument("--quick", action="store_true",
                         help="few steps / few images (sanity)")
+    parser.add_argument("--render-cache-only", action="store_true",
+                        help="render + write the /tmp stack caches on the "
+                             "CPU backend, then exit (pre-warm a sweep "
+                             "without touching the TPU)")
     args = parser.parse_args()
     if args.quick:
         args.images, args.val_images = 16, 8
         args.steps, args.steps2 = 60, 0
-    if args.cpu:
+    if args.cpu or args.render_cache_only:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
