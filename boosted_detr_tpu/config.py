@@ -135,6 +135,11 @@ class TrainConfig:
     momentum: float = 0.9
     nesterov: bool = True
     clipnorm: float = 0.1  # reference DETR_COCO.ipynb cell 26
+    # Adaptive gradient clipping lambda (0 = off): clip each unit's gradient
+    # to agc_clip * its parameter norm (Brock et al., NFNets) — the
+    # published stabilizer for norm-free ResNets (norm='skipinit'), whose
+    # residual branches otherwise spike under plain clipping or none.
+    agc_clip: float = 0.0
     optimizer: str = "sgd"  # sgd | adamw
     weight_decay: float = 0.0
     loss_weights: LossWeights = dataclasses.field(default_factory=LossWeights)

@@ -70,6 +70,10 @@ def make_optimizer(cfg: TrainConfig, d_model: int = 256,
                                        cfg.warmup_steps, d_model)
     chain = [optax.GradientTransformation(*clip_by_per_variable_norm(
         cfg.clipnorm))] if cfg.clipnorm else []
+    if cfg.agc_clip:
+        # unit-wise ratio clip ||g|| <= agc_clip * ||w|| (NFNet AGC) — the
+        # norm-free (skipinit) backbone's stabilizer
+        chain.insert(0, optax.adaptive_grad_clip(cfg.agc_clip))
     if cfg.optimizer == "sgd":
         chain.append(optax.sgd(schedule, momentum=cfg.momentum,
                                nesterov=cfg.nesterov))
@@ -108,25 +112,59 @@ def targets_from_batch(batch: Dict[str, jnp.ndarray], num_categories: int,
 
 
 def compute_losses(preds_list, batch, cfg: ModelConfig,
-                   weights: LossWeights) -> Tuple[jnp.ndarray, Dict]:
+                   weights: LossWeights, fold: bool = True
+                   ) -> Tuple[jnp.ndarray, Dict]:
     """Matched loss accumulated over the given prediction blocks (one entry =
     final-block-only standard DETR, reference model.py:179; multiple entries
-    = intermediate/boosted losses, boosted_model.py:232-243)."""
+    = intermediate/boosted losses, boosted_model.py:232-243).
+
+    With L > 1 blocks the L bipartite problems are FOLDED into one
+    [L*B, O, P] ``matching_loss`` call: the pallas matcher solves all lanes
+    of one kernel invocation in lockstep, so L*B problems cost roughly one
+    solve instead of L sequential solves (ops/pallas_lap.py; the XLA matcher
+    is a vmap and folds the same way). The per-block batch-global
+    normalization ``1 + sum(n)`` (reference losses_and_metrics.py:144-150)
+    is restored by rescaling with ``(1 + L*sum(n)) / (1 + sum(n))`` — same
+    math as the sequential loop up to float re-association (the ``exist``
+    term is normalized per-element by ``1 + P`` and needs no rescale).
+    ``fold=False`` keeps the sequential reference path (parity-tested
+    against the folded one in tests/test_round3_regressions.py)."""
     category, attribute = targets_from_batch(batch, cfg.num_categories,
                                              cfg.num_attributes)
     bbox = batch["bbox"].astype(jnp.float32)
     num_objects = batch["num_objects"]
 
-    acc = None
-    metrics = {}
-    for preds in preds_list:
+    n_blocks = len(preds_list)
+    if fold and n_blocks > 1:
+        b = bbox.shape[0]
+        tile = lambda x: jnp.concatenate([x] * n_blocks, axis=0)  # noqa: E731
+        stacked = {k: jnp.concatenate([p[k] for p in preds_list], axis=0)
+                   for k in ("category", "attribute", "boxes")}
         losses, mets = matching.matching_loss(
-            category, attribute, bbox, num_objects,
-            preds["category"], preds["attribute"], preds["boxes"],
+            tile(category), tile(attribute), tile(bbox), tile(num_objects),
+            stacked["category"], stacked["attribute"], stacked["boxes"],
             weights=weights, matcher=cfg.matcher)
-        acc = losses if acc is None else {
-            k: acc[k] + losses[k] for k in losses}
-        metrics = mets  # reference reports final block's metric
+        sum_n = jnp.sum(num_objects).astype(jnp.float32)
+        rescale = (1.0 + n_blocks * sum_n) / (1.0 + sum_n)
+        acc = {k: v.reshape(n_blocks, b).sum(axis=0) for k, v in
+               losses.items()}
+        for k in ("category", "attribute", "box"):
+            acc[k] = acc[k] * rescale
+        acc["total"] = (acc["category"] + acc["attribute"] + acc["box"]
+                        + acc["exist"])
+        # reference reports the final block's metric
+        metrics = {"iou": mets["iou"].reshape(n_blocks, b)[-1] * rescale}
+    else:
+        acc = None
+        metrics = {}
+        for preds in preds_list:
+            losses, mets = matching.matching_loss(
+                category, attribute, bbox, num_objects,
+                preds["category"], preds["attribute"], preds["boxes"],
+                weights=weights, matcher=cfg.matcher)
+            acc = losses if acc is None else {
+                k: acc[k] + losses[k] for k in losses}
+            metrics = mets  # reference reports final block's metric
     # Keras add_loss parity: per-element losses are summed over the batch
     # (reference model.py:208 + Keras reduction).
     scalar = jnp.sum(acc["total"])

@@ -39,6 +39,10 @@ VARIANTS = {
     # gains (no BatchNorm stats passes — the 80px HBM roofline candidate)
     "skipinit": ("detr", dict(backbone="resnet", stem="patchify8",
                               norm="skipinit")),
+    # skipinit + NFNet adaptive gradient clipping (the published norm-free
+    # stabilizer; plain skipinit spikes mid-run under this protocol)
+    "skipinit_agc": ("detr", dict(backbone="resnet", stem="patchify8",
+                                  norm="skipinit", _agc=0.05)),
     # DETR-paper aux decoder supervision (shared heads, per-block
     # matching) — the reference documents this standard-DETR regime at
     # README.md:65 but hard-codes it off (model.py:179); here it is the
@@ -71,6 +75,7 @@ def run_variant(name, args):
     family, overrides = VARIANTS[name]
     overrides = dict(overrides)
     aux_losses = overrides.pop("_aux_losses", False)
+    agc_clip = overrides.pop("_agc", 0.0)
     size = 64 if args.cpu else 640
     if args.cpu:
         overrides = dict(overrides)
@@ -180,6 +185,7 @@ def run_variant(name, args):
         model = DETR(cfg)
         tcfg0 = TrainConfig(optimizer="adamw", learning_rate=args.lr,
                             lr_schedule="constant", clipnorm=0.0,
+                            agc_clip=agc_clip,
                             batch_size=args.batch_size,
                             use_intermediate_losses=aux_losses)
         train_step = steps.make_train_step(model, cfg, tcfg0)

@@ -431,3 +431,60 @@ def test_val_suite_driver_runs_skipinit_variant():
         cwd="/root/repo", capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "VAL_SUITE" in out.stdout
+
+
+# ---------------------------------------------------------------------------
+# Folded multi-block matching (one lane-batched solve for L blocks)
+# ---------------------------------------------------------------------------
+
+
+def test_folded_intermediate_matching_parity():
+    """compute_losses(fold=True) folds L blocks into one [L*B] matcher call;
+    it must agree with the sequential per-block loop (and its gradients)."""
+    import jax
+    import jax.numpy as jnp
+
+    from boosted_detr_tpu.config import LossWeights, ModelConfig
+    from boosted_detr_tpu.train import steps
+
+    rng = np.random.default_rng(0)
+    B, O, P, Vc, Va, L = 3, 5, 9, 7, 6, 4
+    batch = {
+        "bbox": rng.uniform(0.05, 0.4, (B, O, 4)).astype(np.float32),
+        "category_ids": rng.integers(2, Vc, (B, O)),
+        "attribute_ids": rng.integers(0, Va, (B, O, 2)),
+        "num_objects": np.array([2, 0, 5], np.int32),
+    }
+    cfg = ModelConfig(num_categories=Vc, num_attributes=Va,
+                      matcher="hungarian")
+
+    def make_preds(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        cat = jax.nn.softmax(jax.random.normal(k1, (B, P, Vc)), axis=-1)
+        att = jax.nn.sigmoid(jax.random.normal(k2, (B, P, Va)))
+        box = jax.random.uniform(k3, (B, P, 4), minval=0.05, maxval=0.4)
+        return {"category": cat, "attribute": att, "boxes": box}
+
+    preds_list = [make_preds(jax.random.PRNGKey(i)) for i in range(L)]
+
+    loss_seq, aux_seq = steps.compute_losses(preds_list, batch, cfg,
+                                             LossWeights(), fold=False)
+    loss_fold, aux_fold = steps.compute_losses(preds_list, batch, cfg,
+                                               LossWeights(), fold=True)
+    assert np.isclose(float(loss_seq), float(loss_fold), rtol=1e-5)
+    for k in aux_seq:
+        assert np.isclose(float(aux_seq[k]), float(aux_fold[k]),
+                          rtol=1e-5, atol=1e-6), (k, aux_seq[k], aux_fold[k])
+
+    # gradient parity through the fold (matcher is stop-gradient in both)
+    def scalar(fold):
+        def f(boxes0):
+            pl = [dict(p) for p in preds_list]
+            pl[0] = dict(pl[0], boxes=boxes0)
+            return steps.compute_losses(pl, batch, cfg, LossWeights(),
+                                        fold=fold)[0]
+        return jax.grad(f)(preds_list[0]["boxes"])
+
+    g_seq, g_fold = scalar(False), scalar(True)
+    assert np.allclose(np.asarray(g_seq), np.asarray(g_fold),
+                       rtol=1e-4, atol=1e-6)
