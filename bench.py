@@ -50,8 +50,18 @@ def main():
                       stem=os.environ.get("BENCH_STEM", "patchify8"),
                       # BENCH_NORM=skipinit benches the norm-free variant
                       norm=os.environ.get("BENCH_NORM", "batchnorm"))
-    tcfg = TrainConfig(batch_size=batch_size)
-    model = DETR(cfg)
+    # BENCH_MODEL=boosted benches the boosted ensemble (per-block losses
+    # folded into one lane-batched matcher solve, train/steps.py)
+    bench_model = os.environ.get("BENCH_MODEL", "detr")
+    if bench_model == "boosted":
+        from boosted_detr_tpu.models.boosted import BoostedDETR
+
+        tcfg = TrainConfig(batch_size=batch_size,
+                           use_intermediate_losses=True)
+        model = BoostedDETR(cfg)
+    else:
+        tcfg = TrainConfig(batch_size=batch_size)
+        model = DETR(cfg)
 
     h, w = cfg.image_size
     rng = np.random.default_rng(0)
@@ -143,6 +153,7 @@ def main():
         "train_step_ms": round(step_time * 1000, 2),
         "final_loss": float(losses[-1]),
         "batch_size": batch_size,
+        "model": bench_model,
         "backbone": cfg.backbone,
         "device": str(jax.devices()[0]),
     }))
