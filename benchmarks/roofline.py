@@ -66,6 +66,11 @@ def main():
                     help="batchnorm | skipinit backbone pieces")
     ap.add_argument("--measured", action="append", default=[],
                     metavar="NAME=MS")
+    ap.add_argument("--full", action="store_true",
+                    help="also cost-analyze the WHOLE compiled train step "
+                         "(post-fusion, cross-component): the tightest "
+                         "single attainability bound — per-piece isolation "
+                         "re-materializes boundaries the full program fuses")
     args = ap.parse_args()
 
     import jax
@@ -279,9 +284,42 @@ def main():
                          "attainable_ms": round(attain, 3),
                          "measured_ms": meas})
     print(f"{'TOTAL':14s} {'':8s} {'':8s} {'':6s} {total_attain:9.3f}")
+
+    full = None
+    if args.full:
+        # Whole train step, exactly as bench.py runs it (single jit; XLA
+        # fuses ACROSS the component boundaries the per-piece rows
+        # re-materialize) — its post-fusion flops/bytes give the tightest
+        # honest roofline for the measured step time.
+        tcfg = TrainConfig(batch_size=B)
+        train_step = steps.make_train_step(model, cfg, tcfg)
+        state = steps.TrainState.create(
+            variables["params"], variables.get("batch_stats", {}), tx)
+        batch = {
+            "image": img,
+            "category_ids": jnp.asarray(
+                rng.integers(2, cfg.num_categories, (B, O)), jnp.int32),
+            "attribute_ids": jnp.asarray(
+                rng.integers(0, cfg.num_attributes, (B, O, 4)), jnp.int32),
+            "bbox": tgt_box,
+            "num_objects": n_obj,
+        }
+        flops, byts = cost_of(train_step, state, batch, key)
+        t_c = flops / PEAK_BF16_FLOPS * 1e3
+        t_m = byts / HBM_BW * 1e3
+        attain = max(t_c, t_m)
+        full = {"gflop": round(flops / 1e9, 2), "gb": round(byts / 1e9, 3),
+                "flop_ms": round(t_c, 3), "byte_ms": round(t_m, 3),
+                "attainable_ms": round(attain, 3),
+                "bound": "flops" if t_c >= t_m else "mem"}
+        print(f"\nFULL STEP (one jit, post-fusion): {flops / 1e9:.0f} GFLOP "
+              f"/ {byts / 1e9:.2f} GB -> flop bound {t_c:.2f} ms, byte "
+              f"bound {t_m:.2f} ms => attainable {attain:.2f} ms "
+              f"({full['bound']}-bound)")
+
     print("\nROOFLINE " + json.dumps(
         {"norm": args.norm, "total_attainable_ms": round(total_attain, 3),
-         "rows": out_rows}))
+         "full_step": full, "rows": out_rows}))
 
 
 if __name__ == "__main__":

@@ -284,6 +284,16 @@ def run_variant(name, args):
     print(f"[{name}] final terms: " + "  ".join(
         f"{k}={v:.3f}" for k, v in sorted(last_aux.items())), flush=True)
 
+    if args.save_params:
+        import pickle
+
+        path = args.save_params.replace("%v", name)
+        with open(path, "wb") as f:
+            pickle.dump(jax.tree.map(
+                np.asarray, {"params": state.params,
+                             "batch_stats": state.batch_stats}), f)
+        print(f"[{name}] params saved to {path}", flush=True)
+
     predict = jax.jit(steps.make_predict_step(model))
 
     def eval_split(data, n_batches):
@@ -350,6 +360,10 @@ def main():
                         help="tiny-geometry CPU sanity mode")
     parser.add_argument("--quick", action="store_true",
                         help="few steps / few images (sanity)")
+    parser.add_argument("--save-params", type=str, default="",
+                        help="pickle final params to this path after "
+                             "training ('%%v' expands to the variant name) "
+                             "for post-hoc analysis of a TPU run")
     parser.add_argument("--render-cache-only", action="store_true",
                         help="render + write the /tmp stack caches on the "
                              "CPU backend, then exit (pre-warm a sweep "
