@@ -39,7 +39,9 @@ def main():
     from boosted_detr_tpu.train import steps
 
     batch_size = 8
-    cfg = ModelConfig(image_size=(640, 640), backbone="resnet",
+    cfg = ModelConfig(image_size=(640, 640),
+                      # BENCH_BACKBONE=vit_p32 benches the ViT speed tier
+                      backbone=os.environ.get("BENCH_BACKBONE", "resnet"),
                       compute_dtype="bfloat16", max_objects=32,
                       matcher="pallas",  # fastest exact solver on TPU
                       # TPU-first stem: 8x8/s8 patchify entering at 80x80,
@@ -49,7 +51,13 @@ def main():
                       # mAP 0.517 vs 0.301 (better) — benchmarks/RESULTS.md.
                       stem=os.environ.get("BENCH_STEM", "patchify8"),
                       # BENCH_NORM=skipinit benches the norm-free variant
-                      norm=os.environ.get("BENCH_NORM", "batchnorm"))
+                      norm=os.environ.get("BENCH_NORM", "batchnorm"),
+                      # BENCH_PSTEM=1 enables the fused Pallas stem kernel
+                      # (clip+preprocess+s2d+matmul in one HBM pass,
+                      # ops/pallas_patchify.py) — off by default until the
+                      # on-hardware numeric check + bench gain land
+                      use_pallas_stem=bool(int(
+                          os.environ.get("BENCH_PSTEM", "0"))))
     # BENCH_MODEL=boosted benches the boosted ensemble (per-block losses
     # folded into one lane-batched matcher solve, train/steps.py)
     bench_model = os.environ.get("BENCH_MODEL", "detr")

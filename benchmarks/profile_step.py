@@ -44,7 +44,9 @@ def run_profiled_steps(batch_size: int, n_steps: int, logdir: str,
                       compute_dtype="bfloat16", max_objects=32,
                       matcher="pallas",
                       stem=os.environ.get("PROFILE_STEM", "patchify8"),
-                      norm=os.environ.get("PROFILE_NORM", "batchnorm"))
+                      norm=os.environ.get("PROFILE_NORM", "batchnorm"),
+                      use_pallas_stem=bool(int(
+                          os.environ.get("PROFILE_PSTEM", "0"))))
     tcfg = TrainConfig(batch_size=batch_size)
     model = DETR(cfg)
     h, w = cfg.image_size

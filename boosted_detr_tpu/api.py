@@ -37,6 +37,11 @@ class _ModelBase:
         assert vocab_dict is not None, "vocab_dict is required"
         self.name = name
         self.codec = TextCodec(vocab_dict)
+        # module-level (non-ModelConfig) knobs: DETRPanoptic's mask
+        # resolution rides the same constructor for API symmetry
+        module_kwargs = {}
+        if "mask_size" in overrides:
+            module_kwargs["mask_size"] = overrides.pop("mask_size")
         sizes = self.codec.vocab_size_dict()
         self.config = ModelConfig(
             num_object_preds=num_object_preds,
@@ -54,7 +59,7 @@ class _ModelBase:
         self.loss_weights = LossWeights(attribute=100.0 * attribute_weight,
                                         box=0.0 if classification_only
                                         else LossWeights.box)
-        self.module = self._module_cls(self.config)
+        self.module = self._module_cls(self.config, **module_kwargs)
         self.trainer: Optional[Trainer] = None
         self._vocab_dict = {k: list(v) for k, v in vocab_dict.items()}
 
@@ -146,7 +151,14 @@ class _ModelBase:
         meta = {"class": type(self).__name__,
                 "vocab_dict": self._vocab_dict,
                 "full_config": full,
-                "loss_weights": dataclasses.asdict(self.loss_weights)}
+                "loss_weights": dataclasses.asdict(self.loss_weights),
+                # EMA decay round-trips so load_model() rebuilds a state
+                # that can receive the saved shadow weights
+                "ema_decay": self.trainer.train_cfg.ema_decay}
+        if hasattr(self.module, "mask_size"):
+            # module-level knob outside ModelConfig (DETRPanoptic): a saved
+            # custom mask resolution must survive load_model()
+            meta["mask_size"] = self.module.mask_size
         with open(os.path.join(path, "model_config.json"), "w") as f:
             json.dump(meta, f, indent=2)
         self.trainer.save_weights(os.path.join(path, "weights"))
@@ -288,8 +300,13 @@ def load_model(path: str, **compile_kwargs):
     # vocab-derived sizes are reconstructed by the constructor from the codec
     full.pop("num_categories", None)
     full.pop("num_attributes", None)
+    if "mask_size" in meta:
+        full["mask_size"] = meta["mask_size"]
     model = cls(vocab_dict=meta["vocab_dict"], **full)
     model.loss_weights = LossWeights(**meta["loss_weights"])
+    if meta.get("ema_decay") and "train_config" not in compile_kwargs:
+        compile_kwargs["train_config"] = TrainConfig(
+            ema_decay=meta["ema_decay"])
     model.compile(**compile_kwargs)
     model.trainer.load_weights(os.path.join(path, "weights"))
     return model

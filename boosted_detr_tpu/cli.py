@@ -191,9 +191,24 @@ def cmd_evaluate(args) -> int:
     pipe = model.make_pipeline(dataset=dataset if args.synthetic else None)
     result = metrics_lib.evaluate_map(
         model.trainer,
-        pipe.batches(df, batch_size=args.batch_size, shuffle=False))
+        pipe.batches(df, batch_size=args.batch_size, shuffle=False),
+        use_ema=args.use_ema)
     print(f"mAP: {result['mAP']:.4f}  mAP50: {result['mAP50']:.4f} "
           f"mAP75: {result['mAP75']:.4f}")
+    if args.pq:
+        # Panoptic Quality (panoptic family only): the pipeline must emit
+        # mask targets, which api.DETRPanoptic.make_pipeline does by default
+        if "masks" not in next(pipe.batches(df, batch_size=1,
+                                            shuffle=False)):
+            print("ERROR: --pq needs a panoptic model (mask targets); "
+                  f"loaded model class is {type(model).__name__}")
+            return 2
+        pq = metrics_lib.evaluate_pq(
+            model.trainer,
+            pipe.batches(df, batch_size=args.batch_size, shuffle=False),
+            use_ema=args.use_ema)
+        print(f"PQ: {pq['PQ']:.4f}  SQ: {pq['SQ']:.4f}  "
+              f"RQ: {pq['RQ']:.4f}  ({pq['num_categories']} categories)")
     return 0
 
 
@@ -204,7 +219,8 @@ def cmd_export(args) -> int:
     model = api.load_model(args.load)
     serving.export_serving(model.trainer, args.out,
                            platforms=tuple(args.platforms.split(",")),
-                           early_exit=args.early_exit)
+                           early_exit=args.early_exit,
+                           use_ema=args.use_ema)
     kind = "early-exit (runtime threshold)" if args.early_exit else "standard"
     print(f"exported {kind} serving artifact to {args.out}")
     return 0
@@ -262,6 +278,12 @@ def main(argv=None) -> int:
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("evaluate")
+    e.add_argument("--pq", action="store_true",
+                   help="also report Panoptic Quality (PQ/SQ/RQ; panoptic "
+                        "models only)")
+    e.add_argument("--use-ema", action="store_true",
+                   help="evaluate the EMA shadow weights "
+                        "(TrainConfig.ema_decay)")
     add_data_args(e)
     e.add_argument("--load", required=True, help="saved model directory")
     e.add_argument("--batch-size", type=int, default=8)
@@ -272,6 +294,8 @@ def main(argv=None) -> int:
     x.add_argument("--out", required=True, help="artifact output directory")
     x.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering targets")
+    x.add_argument("--use-ema", action="store_true",
+                   help="bake the EMA shadow weights into the artifact")
     x.add_argument("--early-exit", action="store_true",
                    help="export the adaptive-depth graph (artifact takes a "
                         "runtime confidence threshold)")

@@ -97,6 +97,11 @@ class ModelConfig:
     # auction / greedy (approximate) | hungarian_host (scipy; CPU only)
     matcher: str = "hungarian"
     use_pallas_attention: bool = False
+    # fused Pallas patchify-stem kernel (ResNet patchify/patchify8 stems):
+    # clip + preprocessing + space-to-depth + matmul in ONE HBM pass —
+    # replaces the convert/relayout/3-channel-conv cluster the profiler
+    # attributes ~2.5 ms of the 16 ms 640px train step to
+    use_pallas_stem: bool = False
     # batchnorm | groupnorm (parity flag, SURVEY §7) | skipinit (norm-free:
     # weight-standardized convs + zero-init residual gains — no activation
     # stats passes, designed for the 80px BatchNorm HBM roofline)
@@ -140,6 +145,11 @@ class TrainConfig:
     # published stabilizer for norm-free ResNets (norm='skipinit'), whose
     # residual branches otherwise spike under plain clipping or none.
     agc_clip: float = 0.0
+    # Exponential moving average of the params (0 = off): the shadow copy
+    # updates on-device inside the train step (ema = d*ema + (1-d)*p) and
+    # evaluate/predict can read it with use_ema=True — the standard DETR
+    # eval-quality lever the reference's Keras loop has no hook for.
+    ema_decay: float = 0.0
     optimizer: str = "sgd"  # sgd | adamw
     weight_decay: float = 0.0
     loss_weights: LossWeights = dataclasses.field(default_factory=LossWeights)

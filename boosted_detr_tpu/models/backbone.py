@@ -25,6 +25,7 @@ from typing import Any, Callable, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from boosted_detr_tpu.models.layers import (MultiheadAttention,
                                             trig_positional_init)
@@ -99,6 +100,63 @@ class WSConv(nn.Module):
             preferred_element_type=self.dtype)
 
 
+class PallasPatchifyConv(nn.Module):
+    """Patchify conv backed by the fused Pallas stem kernel
+    (ops/pallas_patchify.py): one HBM pass does clip + preprocessing +
+    space-to-depth + matmul, replacing ~2.5 ms of convert/relayout/
+     3-channel-conv in the 640px train step. The param tree mirrors
+    ``nn.Conv`` (default mode) or ``WSConv`` (weight-standardized mode)
+    exactly, so checkpoints interchange with the XLA stem.
+
+    ``preprocess=(a, b, perm, clip01)`` folds the per-channel input affine
+    ``a * x[..., perm] + b`` into the weights: ``conv(a*x[perm]+b, W) =
+    conv(x, W') + bias`` with ``W'[..., c, :] = (W * a)[..., inv(c), :]``
+    and ``bias = sum_dc W[d,c,:] b[c]`` — so the raw [0,1] image is read
+    exactly once."""
+
+    features: int
+    patch: int
+    weight_standardized: bool = False
+    use_bias: bool = False  # nn.Conv-parity bias (ViT patch embed)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, preprocess=None):
+        from boosted_detr_tpu.ops.pallas_patchify import patchify_conv
+
+        c_in = x.shape[-1]
+        init = (nn.initializers.he_normal() if self.weight_standardized
+                else nn.initializers.lecun_normal())
+        kernel = self.param("kernel", init,
+                            (self.patch, self.patch, c_in, self.features),
+                            jnp.float32)
+        if self.weight_standardized:  # WSConv math, param parity included
+            gain = self.param("gain", nn.initializers.ones,
+                              (self.features,), jnp.float32)
+            fan_in = self.patch * self.patch * c_in
+            mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
+            var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
+            kernel = (kernel - mean) * jax.lax.rsqrt(var * fan_in + 1e-4)
+            kernel = kernel * gain
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        clip01 = False
+        if preprocess is not None:
+            a, b, perm, clip01 = preprocess
+            fold = jnp.einsum("ijco,c->o", kernel, b)
+            bias = fold if bias is None else bias + fold
+            kernel = kernel * a.reshape(1, 1, -1, 1)
+            if perm is not None:
+                # x[perm] contraction -> inverse-permute the channel axis
+                kernel = kernel[:, :, list(np.argsort(perm)), :]
+        y = patchify_conv(x, kernel.astype(self.dtype),
+                          out_dtype=self.dtype, clip01=clip01)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class ConvNormAct(nn.Module):
     features: int
     kernel: Tuple[int, int] = (3, 3)
@@ -107,9 +165,22 @@ class ConvNormAct(nn.Module):
     act: Callable = nn.relu
     dtype: jnp.dtype = jnp.float32
     groups: int = 1
+    pallas_patchify: bool = False
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False, preprocess=None):
+        if self.pallas_patchify:
+            assert (self.kernel == self.strides
+                    and self.kernel[0] == self.kernel[1]
+                    and self.groups == 1), "pallas stem: square patch conv"
+            x = PallasPatchifyConv(
+                self.features, self.kernel[0],
+                weight_standardized=(self.norm == "skipinit"),
+                dtype=self.dtype, name="conv")(x, preprocess)
+            if self.norm != "skipinit":
+                x = make_norm(self.norm, train, self.dtype, "norm")(x)
+            return self.act(x) if self.act is not None else x
+        assert preprocess is None, "preprocess folding needs the pallas stem"
         if self.norm == "skipinit":
             # norm-free path: weight-standardized conv, no activation norm
             x = WSConv(self.features, self.kernel, self.strides, self.groups,
@@ -180,13 +251,16 @@ class ResNetBackbone(nn.Module):
     norm: str = "batchnorm"
     dtype: jnp.dtype = jnp.float32
     stem: str = "conv7"
+    pallas_stem: bool = False
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False, preprocess=None):
         w = lambda c: max(32, int(c * self.width))  # noqa: E731
         if self.stem == "patchify8":
             x = ConvNormAct(w(128), (8, 8), (8, 8), norm=self.norm,
-                            dtype=self.dtype, name="stem")(x, train=train)
+                            dtype=self.dtype, name="stem",
+                            pallas_patchify=self.pallas_stem)(
+                                x, train=train, preprocess=preprocess)
             stages = zip(self.depths[1:], (w(512), w(1024), w(2048)))
             for stage, (depth, feats) in enumerate(stages, start=1):
                 for i in range(depth):
@@ -197,10 +271,14 @@ class ResNetBackbone(nn.Module):
             return x
         if self.stem == "patchify":
             # (an explicit space-to-depth + 1x1-conv form measured the same:
-            # the s2d transpose costs what the conv's layout copy costs)
+            # the s2d transpose costs what the conv's layout copy costs —
+            # the pallas_stem kernel is the form that actually removes it)
             x = ConvNormAct(w(64), (4, 4), (4, 4), norm=self.norm,
-                            dtype=self.dtype, name="stem")(x, train=train)
+                            dtype=self.dtype, name="stem",
+                            pallas_patchify=self.pallas_stem)(
+                                x, train=train, preprocess=preprocess)
         else:
+            assert preprocess is None
             x = ConvNormAct(w(64), (7, 7), (2, 2), norm=self.norm,
                             dtype=self.dtype, name="stem")(x, train=train)
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
@@ -337,15 +415,23 @@ class ViTBackbone(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     qk_norm: bool = False
+    pallas_stem: bool = False
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False, preprocess=None):
         assert self.dim % self.num_heads == 0, (self.dim, self.num_heads)
         assert 32 % self.patch == 0, f"patch {self.patch} must divide 32"
         b = x.shape[0]
-        x = nn.Conv(self.dim, (self.patch, self.patch),
-                    (self.patch, self.patch), padding="VALID",
-                    dtype=self.dtype, name="patch_embed")(x)
+        if self.pallas_stem:
+            # fused patchify kernel; param tree mirrors nn.Conv exactly
+            x = PallasPatchifyConv(self.dim, self.patch, use_bias=True,
+                                   dtype=self.dtype,
+                                   name="patch_embed")(x, preprocess)
+        else:
+            assert preprocess is None
+            x = nn.Conv(self.dim, (self.patch, self.patch),
+                        (self.patch, self.patch), padding="VALID",
+                        dtype=self.dtype, name="patch_embed")(x)
         gh, gw = x.shape[1], x.shape[2]
         t = gh * gw
         x = x.reshape(b, t, self.dim).astype(jnp.float32)
@@ -413,6 +499,21 @@ class TinyBackbone(nn.Module):
         return x
 
 
+def _preprocess_affine(mode: str):
+    """The input-handling modes of ``EncoderBackbone`` expressed as a
+    per-channel affine ``a * x[..., perm] + b`` over the clipped [0,1]
+    image — the form ``PallasPatchifyConv`` folds into the stem weights."""
+    if mode == "scale":
+        return [2.0] * 3, [-1.0] * 3, None
+    if mode == "imagenet":
+        mean = np.asarray([0.485, 0.456, 0.406])
+        std = np.asarray([0.229, 0.224, 0.225])
+        return list(1.0 / std), list(-mean / std), None
+    if mode == "caffe":
+        return [255.0] * 3, [-103.939, -116.779, -123.68], [2, 1, 0]
+    raise ValueError(f"unknown preprocessing '{mode}'")
+
+
 class EncoderBackbone(nn.Module):
     """Input handling + CNN (reference backbone.py:15-58): images arrive in
     [0,1], are clipped, and scaled to the CNN's expected range. The reference
@@ -426,9 +527,35 @@ class EncoderBackbone(nn.Module):
     stem: str = "conv7"
     preprocessing: str = "scale"
     use_pallas: bool = False  # fused-attention kernel for ViT blocks
+    use_pallas_stem: bool = False  # fused patchify-stem kernel (ResNet)
 
     @nn.compact
     def __call__(self, image, *, train: bool = False):
+        is_vit = (self.backbone == "vit"
+                  or self.backbone.startswith("vit_"))
+        if self.use_pallas_stem and (is_vit or (
+                self.backbone == "resnet"
+                and self.stem.startswith("patchify"))):
+            # fused stem: the RAW f32 image goes straight to the Pallas
+            # kernel — clip happens in VMEM and the preprocessing affine
+            # is folded into the stem weights, so no preprocessed 640px
+            # tensor (f32 OR bf16) is ever materialized in HBM.
+            a, b, perm = _preprocess_affine(self.preprocessing)
+            pre = (jnp.asarray(a, jnp.float32),
+                   jnp.asarray(b, jnp.float32), perm, True)
+            if is_vit:
+                dim, depth, heads, patch, qk_norm = parse_vit_spec(
+                    self.backbone, self.width)
+                net = ViTBackbone(dim, depth, heads, patch, self.dtype,
+                                  use_pallas=self.use_pallas,
+                                  qk_norm=qk_norm, pallas_stem=True,
+                                  name="vit")
+            else:
+                net = ResNetBackbone(self.width, norm=self.norm,
+                                     dtype=self.dtype, stem=self.stem,
+                                     pallas_stem=True, name="resnet")
+            return net(image.astype(jnp.float32), train=train,
+                       preprocess=pre)
         x = jnp.clip(image.astype(jnp.float32), 0.0, 1.0)
         if self.preprocessing == "scale":
             x = x * 2.0 - 1.0  # [-1, 1] (from-scratch default)

@@ -50,6 +50,7 @@ class BoostedDETR(nn.Module):
                                         cfg.norm, dtype, cfg.stem,
                                         cfg.preprocessing,
                                         cfg.use_pallas_attention,
+                                        cfg.use_pallas_stem,
                                         name="backbone")
         self.neck = BackboneNeck(cfg.encoder_dim, cfg.norm, dtype,
                                  name="neck")

@@ -44,6 +44,7 @@ class DETR(nn.Module):
                                         cfg.norm, dtype, cfg.stem,
                                         cfg.preprocessing,
                                         cfg.use_pallas_attention,
+                                        cfg.use_pallas_stem,
                                         name="backbone")
         self.neck = BackboneNeck(cfg.encoder_dim, cfg.norm, dtype,
                                  name="neck")

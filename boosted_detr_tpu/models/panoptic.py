@@ -213,7 +213,8 @@ def make_panoptic_train_step(model: "DETRPanoptic", train_cfg,
                                       dice_weight, focal_weight)
         return total, (aux, mutated.get("batch_stats", {}))
 
-    return steps_lib.make_update_step(loss_fn)
+    return steps_lib.make_update_step(
+        loss_fn, ema_decay=getattr(train_cfg, "ema_decay", 0.0))
 
 
 def make_panoptic_eval_step(model: "DETRPanoptic", train_cfg,

@@ -38,21 +38,31 @@ import numpy as np
 
 def export_serving(trainer, path: str,
                    platforms: tuple = ("cpu", "tpu"),
-                   early_exit: bool = False) -> str:
+                   early_exit: bool = False,
+                   use_ema: bool = False) -> str:
     """Serialize ``trainer``'s inference function + current weights.
 
     ``early_exit=True`` exports the adaptive-select graph instead: the
     artifact takes ``(images, threshold)`` and returns per-image earliest
     confident block predictions plus ``exit_block`` [B].
+
+    ``use_ema=True`` bakes the EMA shadow weights (TrainConfig.ema_decay)
+    into the artifact instead of the live params — the standard way to
+    ship a DETR: train weights stay in the checkpoint, averaged weights go
+    to serving.
     """
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
 
+    from boosted_detr_tpu.train import steps as steps_lib
+
     os.makedirs(path, exist_ok=True)
     model = trainer.model
-    params = jax.device_get(trainer.state.params)
-    batch_stats = jax.device_get(trainer.state.batch_stats)
+    state = (steps_lib.with_ema_params(trainer.state) if use_ema
+             else trainer.state)
+    params = jax.device_get(state.params)
+    batch_stats = jax.device_get(state.batch_stats)
     variables = {"params": params, "batch_stats": batch_stats}
 
     h, w = trainer.model_cfg.image_size
@@ -87,6 +97,7 @@ def export_serving(trainer, path: str,
                        if trainer.codec is not None else None),
         "model_class": type(model).__name__,
         "early_exit": bool(early_exit),
+        "ema_weights": bool(use_ema),
         "outputs": "dict(category softmax, attribute sigmoid, boxes COCO"
                    " [x,y,w,h]; masks logits when panoptic; exit_block when"
                    " early_exit)",

@@ -334,8 +334,179 @@ def evaluate_map_fn(predict_fn, batches,
     return compute_map(scale(preds_all), scale(gts_all))
 
 
-def evaluate_map(trainer, batches) -> Dict[str, float]:
-    """evaluate_map_fn driven by a Trainer (the standard entry point)."""
+def evaluate_map(trainer, batches, use_ema: bool = False) -> Dict[str, float]:
+    """evaluate_map_fn driven by a Trainer (the standard entry point).
+    ``use_ema`` evaluates the EMA shadow weights (TrainConfig.ema_decay)."""
     return evaluate_map_fn(
-        lambda image: trainer.predict(image, decode_text=False), batches,
+        lambda image: trainer.predict(image, decode_text=False,
+                                      use_ema=use_ema), batches,
         trainer.model_cfg.image_size)
+
+
+# ---------------------------------------------------------------------------
+# Panoptic Quality (PQ / SQ / RQ)
+# ---------------------------------------------------------------------------
+
+VOID = -1
+
+
+def panoptic_canvas(masks: np.ndarray, categories: np.ndarray,
+                    scores: Optional[np.ndarray] = None) -> np.ndarray:
+    """Resolve per-segment binary ``masks`` [N, H, W] into one NON-overlapping
+    int32 canvas of segment indices (VOID = -1 where nothing claims the
+    pixel). Overlaps go to the segment with the higher ``scores`` value
+    (for predictions: the mask logit is passed per-pixel instead — see
+    ``detr_panoptic_segments``); with ``scores=None`` the LATER segment wins,
+    matching a painter's-order renderer (SyntheticShapes draws objects
+    sequentially, so later objects occlude earlier ones)."""
+    n, h, w = masks.shape
+    canvas = np.full((h, w), VOID, np.int32)
+    order = range(n) if scores is None else np.argsort(scores, kind="stable")
+    for i in order:
+        canvas[masks[i] > 0] = i
+    del categories  # categories are read by the caller via the index canvas
+    return canvas
+
+
+def detr_panoptic_segments(preds: Dict[str, np.ndarray],
+                           confidence: float = 0.5,
+                           min_pixels: int = 1
+                           ) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """DETR-style panoptic postprocess (one entry per image): keep queries
+    whose best non-PAD class probability clears ``confidence``, assign each
+    pixel to the kept query with the highest mask logit — but only where
+    that logit is positive (sigmoid > 0.5), everything else is VOID — and
+    drop empty/tiny segments. Returns [(canvas [H, W] of segment ids,
+    segment category ids [S])] per image; ids index the second array."""
+    cat = np.asarray(preds["category"], np.float32)      # [B, P, Vc] softmax
+    logits = np.asarray(preds["masks"], np.float32)      # [B, P, H, W]
+    out = []
+    for b in range(cat.shape[0]):
+        cls = cat[b, :, 1:].argmax(-1) + 1               # best non-PAD class
+        score = cat[b, :, 1:].max(-1)
+        keep = np.nonzero(score >= confidence)[0]
+        h, w = logits.shape[2:]
+        canvas = np.full((h, w), VOID, np.int32)
+        seg_cats: List[int] = []
+        if keep.size:
+            ml = logits[b, keep]                          # [K, H, W]
+            winner = ml.argmax(0)
+            claimed = ml.max(0) > 0.0                     # sigmoid > 0.5
+            flat = np.where(claimed, winner, -1)
+            kept_ids = []
+            for j in range(keep.size):
+                sel = flat == j
+                if sel.sum() >= min_pixels:
+                    canvas[sel] = len(kept_ids)
+                    kept_ids.append(j)
+                    seg_cats.append(int(cls[keep[j]]))
+        out.append((canvas, np.asarray(seg_cats, np.int64)))
+    return out
+
+
+def compute_pq(gt_images: Sequence[Tuple[np.ndarray, np.ndarray,
+                                         Optional[np.ndarray]]],
+               pred_images: Sequence[Tuple[np.ndarray, np.ndarray]]
+               ) -> Dict[str, float]:
+    """Panoptic Quality over a dataset (Kirillov et al., the panopticapi
+    rules — pure numpy; the reference has no panoptic metric at all):
+
+    - per image, segments match when SAME category and IoU > 0.5 (at most
+      one match each — guaranteed unique by the > 0.5 rule);
+    - IoU's union EXCLUDES the prediction's overlap with VOID pixels
+      (unlabeled area is not evidence against a match);
+    - crowd ground truths (``gt_iscrowd``) never match and never count as
+      FN; an unmatched prediction is discarded (not an FP) when more than
+      half its area lies on VOID + same-category crowd pixels;
+    - PQ = sum(IoU of TPs) / (TP + FP/2 + FN/2), SQ = sum(IoU)/TP,
+      RQ = TP / (TP + FP/2 + FN/2), averaged over categories that appear
+      in the ground truth or predictions (panopticapi convention).
+
+    ``gt_images``: (canvas [H, W] of segment ids or VOID, categories [S],
+    iscrowd [S] or None). ``pred_images``: (canvas, categories)."""
+    per_cat: Dict[int, Dict[str, float]] = {}
+
+    def cat_stats(c):
+        return per_cat.setdefault(c, dict(iou=0.0, tp=0, fp=0, fn=0))
+
+    for (gt_canvas, gt_cats, gt_crowd), (pr_canvas, pr_cats) in zip(
+            gt_images, pred_images):
+        gt_crowd = (np.zeros(len(gt_cats), bool) if gt_crowd is None
+                    else np.asarray(gt_crowd, bool))
+        gt_areas = np.bincount(gt_canvas[gt_canvas >= 0].ravel(),
+                               minlength=len(gt_cats)).astype(np.int64)
+        pr_areas = np.bincount(pr_canvas[pr_canvas >= 0].ravel(),
+                               minlength=len(pr_cats)).astype(np.int64)
+        void_mask = gt_canvas == VOID
+        # pairwise intersections via a joint id (gt+1) * M + (pr+1)
+        m = len(pr_cats) + 1
+        joint = (gt_canvas.astype(np.int64) + 1) * m + (
+            pr_canvas.astype(np.int64) + 1)
+        ids, counts = np.unique(joint, return_counts=True)
+        inter = {(int(i // m) - 1, int(i % m) - 1): int(c)
+                 for i, c in zip(ids, counts)}
+        gt_matched = np.zeros(len(gt_cats), bool)
+        pr_matched = np.zeros(len(pr_cats), bool)
+        for (g, p), n_int in inter.items():
+            if g < 0 or p < 0 or gt_crowd[g]:
+                continue
+            if gt_cats[g] != pr_cats[p]:
+                continue
+            void_int = inter.get((VOID, p), 0)
+            union = gt_areas[g] + pr_areas[p] - n_int - void_int
+            iou = n_int / union if union > 0 else 0.0
+            if iou > 0.5:
+                s = cat_stats(int(gt_cats[g]))
+                s["iou"] += iou
+                s["tp"] += 1
+                gt_matched[g] = True
+                pr_matched[p] = True
+        for g in np.nonzero(~gt_matched & ~gt_crowd)[0]:
+            cat_stats(int(gt_cats[g]))["fn"] += 1
+        for p in np.nonzero(~pr_matched)[0]:
+            ignore = inter.get((VOID, p), 0)
+            for g in np.nonzero(gt_crowd)[0]:
+                if gt_cats[g] == pr_cats[p]:
+                    ignore += inter.get((int(g), int(p)), 0)
+            if pr_areas[p] > 0 and ignore / pr_areas[p] > 0.5:
+                continue
+            cat_stats(int(pr_cats[p]))["fp"] += 1
+
+    pqs, sqs, rqs = [], [], []
+    for c, s in sorted(per_cat.items()):
+        denom = s["tp"] + 0.5 * s["fp"] + 0.5 * s["fn"]
+        if denom == 0:
+            continue
+        pq = s["iou"] / denom
+        sq = s["iou"] / s["tp"] if s["tp"] else 0.0
+        rq = s["tp"] / denom
+        pqs.append(pq)
+        sqs.append(sq)
+        rqs.append(rq)
+    n = max(len(pqs), 1)
+    return {"PQ": float(sum(pqs)) / n, "SQ": float(sum(sqs)) / n,
+            "RQ": float(sum(rqs)) / n, "num_categories": len(pqs)}
+
+
+def evaluate_pq(trainer, batches, confidence: float = 0.5,
+                use_ema: bool = False) -> Dict[str, float]:
+    """PQ/SQ/RQ for a DETRPanoptic trainer over mask-target batches (the
+    batch must carry 'masks' [B, O, h, w] + 'category_ids'/'num_objects';
+    prediction masks are produced at the model's own mask resolution, so
+    ground-truth and prediction canvases share a grid)."""
+    gt_images, pred_images = [], []
+    for batch in batches:
+        preds = trainer.predict(batch["image"], decode_text=False,
+                                use_ema=use_ema)
+        pred_images.extend(detr_panoptic_segments(preds, confidence))
+        n_obj = np.asarray(batch["num_objects"], np.int64)
+        cats = np.asarray(batch["category_ids"])
+        masks = np.asarray(batch["masks"])
+        crowd_all = batch.get("iscrowd")
+        for b in range(masks.shape[0]):
+            k = int(n_obj[b])
+            canvas = panoptic_canvas(masks[b, :k], cats[b, :k])
+            crowd = (np.asarray(crowd_all[b, :k], bool)
+                     if crowd_all is not None else None)
+            gt_images.append((canvas, cats[b, :k].astype(np.int64), crowd))
+    return compute_pq(gt_images, pred_images)

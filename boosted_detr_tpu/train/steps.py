@@ -28,11 +28,26 @@ class TrainState(flax.struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    # shadow EMA of params (TrainConfig.ema_decay > 0), updated on-device
+    # inside the train step; None when EMA is off (structurally absent, so
+    # existing checkpoints/pytrees are unchanged)
+    ema_params: Any = None
 
     @classmethod
-    def create(cls, params, batch_stats, tx):
+    def create(cls, params, batch_stats, tx, ema: bool = False):
         return cls(step=jnp.zeros((), jnp.int32), params=params,
-                   batch_stats=batch_stats, opt_state=tx.init(params), tx=tx)
+                   batch_stats=batch_stats, opt_state=tx.init(params), tx=tx,
+                   ema_params=jax.tree_util.tree_map(jnp.copy, params)
+                   if ema else None)
+
+
+def with_ema_params(state: TrainState) -> TrainState:
+    """The state with EMA weights swapped in as ``params`` (for eval or
+    export). Raises if the state was created without EMA."""
+    if state.ema_params is None:
+        raise ValueError("this TrainState has no EMA shadow; set "
+                         "TrainConfig.ema_decay > 0 before compile()")
+    return state.replace(params=state.ema_params)
 
 
 def clip_by_per_variable_norm(max_norm: float) -> optax.GradientTransformation:
@@ -72,8 +87,16 @@ def make_optimizer(cfg: TrainConfig, d_model: int = 256,
         cfg.clipnorm))] if cfg.clipnorm else []
     if cfg.agc_clip:
         # unit-wise ratio clip ||g|| <= agc_clip * ||w|| (NFNet AGC) — the
-        # norm-free (skipinit) backbone's stabilizer
-        chain.insert(0, optax.adaptive_grad_clip(cfg.agc_clip))
+        # norm-free (skipinit) backbone's stabilizer. Applied to weight
+        # MATRICES/kernels only (ndim >= 2), matching the NFNet recipe:
+        # on zero-init scalars (skipinit's skip_gain) the ratio clip caps
+        # the update at ~eps*clip forever, so an unmasked AGC freezes every
+        # residual branch shut and the model never trains (measured:
+        # val mAP50 0.014 vs 0.131 unclipped, benchmarks/RESULTS.md).
+        chain.insert(0, optax.masked(
+            optax.adaptive_grad_clip(cfg.agc_clip),
+            lambda params: jax.tree_util.tree_map(
+                lambda p: p.ndim >= 2, params)))
     if cfg.optimizer == "sgd":
         chain.append(optax.sgd(schedule, momentum=cfg.momentum,
                                nesterov=cfg.nesterov))
@@ -173,10 +196,12 @@ def compute_losses(preds_list, batch, cfg: ModelConfig,
     return scalar, aux
 
 
-def make_update_step(loss_fn) -> Callable:
+def make_update_step(loss_fn, ema_decay: float = 0.0) -> Callable:
     """Wrap a ``loss_fn(params, batch_stats, batch, rng) -> (loss, (aux,
     new_stats))`` into the standard gradient/optimizer update step (shared by
-    the detection and panoptic step factories)."""
+    the detection and panoptic step factories). ``ema_decay > 0`` also
+    advances the state's EMA shadow (when the state carries one) in the same
+    fused program — no extra dispatch, no host traffic."""
 
     def train_step(state: TrainState, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
@@ -187,8 +212,16 @@ def make_update_step(loss_fn) -> Callable:
             updates, new_opt = state.tx.update(grads, state.opt_state,
                                                state.params)
             new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if new_ema is not None and ema_decay > 0.0:
+            with jax.named_scope("ema"):
+                new_ema = jax.tree_util.tree_map(
+                    lambda e, p: e * ema_decay
+                    + p.astype(e.dtype) * (1.0 - ema_decay),
+                    new_ema, new_params)
         new_state = state.replace(step=state.step + 1, params=new_params,
-                                  batch_stats=new_stats, opt_state=new_opt)
+                                  batch_stats=new_stats, opt_state=new_opt,
+                                  ema_params=new_ema)
         aux["loss"] = loss
         return new_state, aux
 
@@ -238,7 +271,7 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig
         loss, aux = compute_losses(preds_list, batch, model_cfg, weights)
         return loss, (aux, mutated.get("batch_stats", {}))
 
-    return make_update_step(loss_fn)
+    return make_update_step(loss_fn, ema_decay=train_cfg.ema_decay)
 
 
 def make_eval_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig

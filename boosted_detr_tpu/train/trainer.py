@@ -99,7 +99,8 @@ class Trainer:
                 self.train_cfg, d_model=self.model_cfg.decoder_dim,
                 trainable_mask=mask)
         self.state = steps_lib.TrainState.create(
-            variables["params"], variables.get("batch_stats", {}), tx)
+            variables["params"], variables.get("batch_stats", {}), tx,
+            ema=self.train_cfg.ema_decay > 0.0)
         # donate the state: its buffers are reused in place instead of
         # copied every step (29M params in the flagship config)
         if self._is_panoptic():
@@ -153,27 +154,45 @@ class Trainer:
             self._ckpt_mgr.wait_until_finished()
 
     def save_weights(self, path: str):
-        """Keras-style explicit weight save (params + batch_stats) to an
-        orbax single-checkpoint directory (reference save_weights parity,
-        DETR_COCO.ipynb cell 32)."""
+        """Keras-style explicit weight save (params + batch_stats, plus the
+        EMA shadow when the state carries one) to an orbax single-checkpoint
+        directory (reference save_weights parity, DETR_COCO.ipynb cell 32)."""
         import orbax.checkpoint as ocp
 
+        payload = {"params": self.state.params,
+                   "batch_stats": self.state.batch_stats}
+        if self.state.ema_params is not None:
+            payload["ema_params"] = self.state.ema_params
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(path),
-                   {"params": self.state.params,
-                    "batch_stats": self.state.batch_stats}, force=True)
+        ckptr.save(os.path.abspath(path), payload, force=True)
         ckptr.wait_until_finished()
 
     def load_weights(self, path: str):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(
-            os.path.abspath(path),
-            {"params": self.state.params,
-             "batch_stats": self.state.batch_stats})
-        self.state = self.state.replace(params=restored["params"],
-                                        batch_stats=restored["batch_stats"])
+        template = {"params": self.state.params,
+                    "batch_stats": self.state.batch_stats}
+        # the EMA shadow round-trips when BOTH sides have it; a checkpoint
+        # saved without EMA loads into an EMA-enabled state (shadow re-seeds
+        # from the restored params) and vice versa (shadow dropped), so old
+        # checkpoints and config changes both keep working. Orbax restore
+        # templates must match the on-disk tree exactly, so the template is
+        # built from the checkpoint's own key metadata.
+        has_ema = self.state.ema_params is not None
+        on_disk = set(ckptr.metadata(os.path.abspath(path)).item_metadata)
+        if has_ema and "ema_params" in on_disk:
+            template["ema_params"] = self.state.ema_params
+        elif "ema_params" in on_disk:  # EMA ckpt -> EMA-less state: discard
+            template["ema_params"] = self.state.params
+        restored = ckptr.restore(os.path.abspath(path), template)
+        self.state = self.state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            ema_params=(restored.get(
+                "ema_params",
+                jax.tree_util.tree_map(jnp.copy, restored["params"]))
+                if has_ema else None))
 
     def load_pretrained_backbone(self, source: str,
                                  subtree: str = "backbone"):
@@ -204,16 +223,23 @@ class Trainer:
     def restore(self) -> bool:
         if self._ckpt_mgr is None or self._ckpt_mgr.latest_step() is None:
             return False
+        step = self._ckpt_mgr.latest_step()
+        # same EMA cross-compatibility as load_weights: the restore template
+        # must match the on-disk tree, so key presence comes from metadata
+        on_disk = set(self._ckpt_mgr.item_metadata(step))
         restored = self._ckpt_mgr.restore(
-            self._ckpt_mgr.latest_step(),
-            args=_ckpt_restore_args(self.state))
+            step, args=_ckpt_restore_args(self.state, on_disk))
         self.state = self.state.replace(
             step=jnp.asarray(restored["step"], jnp.int32),
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=jax.tree_util.tree_unflatten(
                 jax.tree_util.tree_structure(self.state.opt_state),
-                jax.tree_util.tree_leaves(restored["opt_state"])))
+                jax.tree_util.tree_leaves(restored["opt_state"])),
+            ema_params=((restored.get(
+                "ema_params",
+                jax.tree_util.tree_map(jnp.copy, restored["params"])))
+                if self.state.ema_params is not None else None))
         return True
 
     # -- loops ------------------------------------------------------------
@@ -362,12 +388,20 @@ class Trainer:
             self._ckpt_mgr.wait_until_finished()  # join async epoch saves
         return history
 
-    def evaluate(self, batches: Iterable) -> Dict[str, float]:
+    def _read_state(self, use_ema: bool = False) -> "steps_lib.TrainState":
+        """State used for read-only passes (eval/predict): the live params,
+        or the EMA shadow when ``use_ema`` (TrainConfig.ema_decay > 0)."""
+        return (steps_lib.with_ema_params(self.state) if use_ema
+                else self.state)
+
+    def evaluate(self, batches: Iterable,
+                 use_ema: bool = False) -> Dict[str, float]:
+        state = self._read_state(use_ema)
         sums: Dict[str, float] = {}
         n = 0
         for batch in batches:
             batch = self._place(batch)
-            aux = self._eval_step(self.state, batch)
+            aux = self._eval_step(state, batch)
             for k, v in aux.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
@@ -398,14 +432,17 @@ class Trainer:
         return serve
 
     def predict(self, images: np.ndarray, decode_text: bool = True,
-                early_exit_threshold: Optional[float] = None):
+                early_exit_threshold: Optional[float] = None,
+                use_ema: bool = False):
         """Images -> (category_strings, attribute_strings, boxes) via the
         host codec (reference inference signature, model.py:226-233), or the
         raw probability dict when ``decode_text=False``.
 
         ``early_exit_threshold`` enables adaptive-depth inference (the
         reference README.md:63-88 design): each image takes the earliest
-        decoder block whose confidence clears the threshold."""
+        decoder block whose confidence clears the threshold.
+        ``use_ema`` serves the EMA shadow weights (TrainConfig.ema_decay)."""
+        read_state = self._read_state(use_ema)
         threshold = (early_exit_threshold
                      if early_exit_threshold is not None
                      else self.model_cfg.early_exit_threshold)
@@ -423,11 +460,11 @@ class Trainer:
 
                 self._predict_adaptive = jax.jit(adaptive)
             preds, exit_block = self._predict_adaptive(
-                self.state, jnp.asarray(images), jnp.float32(threshold))
+                read_state, jnp.asarray(images), jnp.float32(threshold))
             preds = {k: np.asarray(v) for k, v in preds.items()}
             preds["exit_block"] = np.asarray(exit_block)
         else:
-            preds = self._predict_step(self.state, jnp.asarray(images))
+            preds = self._predict_step(read_state, jnp.asarray(images))
             preds = {k: np.asarray(v) for k, v in preds.items()}
         if decode_text and self.codec is not None:
             return self.codec.decode_predictions(preds)
@@ -479,7 +516,12 @@ def _make_checkpoint_manager(directory: str, keep: int = 3):
     return ocp.CheckpointManager(
         os.path.abspath(directory),
         options=ocp.CheckpointManagerOptions(max_to_keep=keep,
-                                             create=True))
+                                             create=True),
+        # a declared handler lets a FRESH manager read item_metadata() from
+        # an existing directory (otherwise it returns None before the first
+        # restore) — restore() needs the on-disk key set for the EMA
+        # cross-compatibility template
+        item_handlers=ocp.StandardCheckpointHandler())
 
 
 def _ckpt_args(state: steps_lib.TrainState):
@@ -491,10 +533,17 @@ def _ckpt_args(state: steps_lib.TrainState):
         "batch_stats": state.batch_stats,
         "opt_state": jax.tree_util.tree_leaves(state.opt_state),
     }
+    if state.ema_params is not None:
+        payload["ema_params"] = state.ema_params
     return ocp.args.StandardSave(payload)
 
 
-def _ckpt_restore_args(state: steps_lib.TrainState):
+def _ckpt_restore_args(state: steps_lib.TrainState, on_disk_keys=None):
+    """Restore template matching ``state`` AND the checkpoint's on-disk key
+    set (orbax templates must mirror the saved tree exactly): an EMA-enabled
+    state restoring a pre-EMA checkpoint omits the shadow (the caller
+    re-seeds it from params); an EMA checkpoint restoring into an EMA-less
+    state reads the shadow into a throwaway slot."""
     import orbax.checkpoint as ocp
 
     template = {
@@ -503,4 +552,10 @@ def _ckpt_restore_args(state: steps_lib.TrainState):
         "batch_stats": state.batch_stats,
         "opt_state": jax.tree_util.tree_leaves(state.opt_state),
     }
+    ckpt_has_ema = (state.ema_params is not None if on_disk_keys is None
+                    else "ema_params" in on_disk_keys)
+    if ckpt_has_ema:
+        template["ema_params"] = (state.ema_params
+                                  if state.ema_params is not None
+                                  else state.params)
     return ocp.args.StandardRestore(template)

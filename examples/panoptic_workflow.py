@@ -109,6 +109,12 @@ def main():
     ev = pano.trainer.evaluate(pipe.batches(df, batch_size=8,
                                             shuffle=False))
     print({k: round(float(v), 3) for k, v in ev.items()})
+    from boosted_detr_tpu.train import metrics as metrics_lib
+
+    pq = metrics_lib.evaluate_pq(
+        pano.trainer, pipe.batches(df, batch_size=8, shuffle=False))
+    print("panoptic quality:",
+          {k: round(float(v), 3) for k, v in pq.items()})
 
     export_dir = args.export_dir or os.path.join(root, "serving")
     pano.trainer.export_serving(export_dir)

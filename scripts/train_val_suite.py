@@ -49,6 +49,14 @@ VARIANTS = {
     # quality lever measured by the round-3 val suite
     "flagship_aux": ("detr", dict(backbone="resnet", stem="patchify8",
                                   _aux_losses=True)),
+    # flagship + parameter EMA (TrainConfig.ema_decay): reports BOTH raw and
+    # EMA val mAP from one run — the standard DETR eval-quality lever
+    "flagship_ema": ("detr", dict(backbone="resnet", stem="patchify8",
+                                  _ema=0.999)),
+    # flagship + the fused Pallas patchify stem (must be a pure speed knob:
+    # val mAP in family with flagship confirms quality-neutrality on-chip)
+    "flagship_pstem": ("detr", dict(backbone="resnet", stem="patchify8",
+                                    use_pallas_stem=True)),
     "conv7": ("detr", dict(backbone="resnet", stem="conv7")),
     "patchify": ("detr", dict(backbone="resnet", stem="patchify")),
     "vit_p32": ("detr", dict(backbone="vit_p32",
@@ -76,6 +84,7 @@ def run_variant(name, args):
     overrides = dict(overrides)
     aux_losses = overrides.pop("_aux_losses", False)
     agc_clip = overrides.pop("_agc", 0.0)
+    ema_decay = overrides.pop("_ema", 0.0)
     size = 64 if args.cpu else 640
     if args.cpu:
         overrides = dict(overrides)
@@ -168,6 +177,7 @@ def run_variant(name, args):
         make_step = functools.partial(make_panoptic_train_step, model)
         tcfg0 = TrainConfig(optimizer="adamw", learning_rate=args.lr,
                             lr_schedule="constant", clipnorm=0.0,
+                            ema_decay=ema_decay,
                             batch_size=args.batch_size)
         train_step = make_step(tcfg0)
     elif family == "boosted":
@@ -176,6 +186,7 @@ def run_variant(name, args):
         model = BoostedDETR(cfg)
         tcfg0 = TrainConfig(optimizer="adamw", learning_rate=args.lr,
                             lr_schedule="constant", clipnorm=0.0,
+                            ema_decay=ema_decay,
                             batch_size=args.batch_size,
                             use_intermediate_losses=True)
         train_step = steps.make_train_step(model, cfg, tcfg0)
@@ -185,6 +196,7 @@ def run_variant(name, args):
         model = DETR(cfg)
         tcfg0 = TrainConfig(optimizer="adamw", learning_rate=args.lr,
                             lr_schedule="constant", clipnorm=0.0,
+                            ema_decay=ema_decay,
                             agc_clip=agc_clip,
                             batch_size=args.batch_size,
                             use_intermediate_losses=aux_losses)
@@ -195,7 +207,8 @@ def run_variant(name, args):
         stacked["image"][0].astype(jnp.float32) / 255.0)
     state = steps.TrainState.create(
         variables["params"], variables.get("batch_stats", {}),
-        steps.make_optimizer(tcfg0, d_model=cfg.decoder_dim))
+        steps.make_optimizer(tcfg0, d_model=cfg.decoder_dim),
+        ema=ema_decay > 0)
 
     from boosted_detr_tpu.data import augment as augment_lib
 
@@ -262,8 +275,22 @@ def run_variant(name, args):
         return state
 
     t0 = time.time()
-    state = run_phase(state, args.steps)
-    if args.lr2 and args.steps2:
+    if args.load_params:
+        # eval-only: score previously saved params (post-hoc analysis of a
+        # TPU run without re-training — e.g. PQ on a saved panoptic run)
+        import pickle
+
+        with open(args.load_params.replace("%v", name), "rb") as f:
+            blob = pickle.load(f)
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, blob["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, blob["batch_stats"]))
+        parts.append(np.asarray([np.nan], np.float32))
+        print(f"[{name}] loaded params from {args.load_params}; eval-only",
+              flush=True)
+    else:
+        state = run_phase(state, args.steps)
+    if not args.load_params and args.lr2 and args.steps2:
         tcfg2 = tcfg0.replace(learning_rate=args.lr2)
         if family == "panoptic":
             train_step = make_step(tcfg2)
@@ -273,7 +300,8 @@ def run_variant(name, args):
         # -> the next run() call retraces and picks up the rebound train_step
         state = steps.TrainState.create(
             state.params, state.batch_stats,
-            steps.make_optimizer(tcfg2, d_model=cfg.decoder_dim))
+            steps.make_optimizer(tcfg2, d_model=cfg.decoder_dim)
+        ).replace(ema_params=state.ema_params)  # EMA carries across phases
         state = run_phase(state, args.steps2)
     losses = np.concatenate(parts)
     dt = time.time() - t0
@@ -296,19 +324,45 @@ def run_variant(name, args):
 
     predict = jax.jit(steps.make_predict_step(model))
 
-    def eval_split(data, n_batches):
+    def eval_split(data, n_batches, eval_state=None):
+        eval_state = state if eval_state is None else eval_state
+
         def host_batch(i):
             b = {k: np.asarray(v[i]) for k, v in data.items()}
             b["image"] = b["image"].astype(np.float32) / 255.0
             return b
 
         return metrics_lib.evaluate_map_fn(
-            lambda image: jax.tree.map(np.asarray, predict(state, image)),
+            lambda image: jax.tree.map(np.asarray,
+                                       predict(eval_state, image)),
             (host_batch(i) for i in range(n_batches)),
             cfg.image_size)
 
+    def eval_pq_split(data, n_batches):
+        """Held-out Panoptic Quality (panoptic family only): GT canvases
+        from the staged mask targets, predictions via the DETR panoptic
+        postprocess — same 48px grid on both sides."""
+        gt_images, pred_images = [], []
+        for i in range(n_batches):
+            b = {k: np.asarray(v[i]) for k, v in data.items()}
+            image = jnp.asarray(b["image"].astype(np.float32) / 255.0)
+            preds = jax.tree.map(np.asarray, predict(state, image))
+            pred_images.extend(
+                metrics_lib.detr_panoptic_segments(preds, confidence=0.5))
+            for j in range(b["masks"].shape[0]):
+                k_obj = int(b["num_objects"][j])
+                cats = b["category_ids"][j, :k_obj].astype(np.int64)
+                canvas = metrics_lib.panoptic_canvas(
+                    b["masks"][j, :k_obj], cats)
+                gt_images.append((canvas, cats, None))
+        return metrics_lib.compute_pq(gt_images, pred_images)
+
     train_m = eval_split(stacked, n_b)
     val_m = eval_split(val_stacked, n_vb)
+    val_ema = (eval_split(val_stacked, n_vb, steps.with_ema_params(state))
+               if ema_decay > 0 else None)
+    val_pq = (eval_pq_split(val_stacked, n_vb)
+              if family == "panoptic" else None)
     result = {
         "variant": name, "steps": int(len(losses)),
         "train_mAP": round(train_m["mAP"], 4),
@@ -322,6 +376,14 @@ def run_variant(name, args):
         "final_loss": round(float(losses[-1]), 3),
         "train_seconds": round(dt, 1),
     }
+    if val_ema is not None:
+        result["val_mAP_ema"] = round(val_ema["mAP"], 4)
+        result["val_mAP50_ema"] = round(val_ema["mAP50"], 4)
+        result["val_mAP75_ema"] = round(val_ema["mAP75"], 4)
+    if val_pq is not None:
+        result["val_PQ"] = round(val_pq["PQ"], 4)
+        result["val_SQ"] = round(val_pq["SQ"], 4)
+        result["val_RQ"] = round(val_pq["RQ"], 4)
     print("VAL_SUITE " + json.dumps(result), flush=True)
     return result
 
@@ -360,6 +422,9 @@ def main():
                         help="tiny-geometry CPU sanity mode")
     parser.add_argument("--quick", action="store_true",
                         help="few steps / few images (sanity)")
+    parser.add_argument("--load-params", type=str, default="",
+                        help="skip training; load a --save-params pickle "
+                             "and evaluate it (eval-only mode)")
     parser.add_argument("--save-params", type=str, default="",
                         help="pickle final params to this path after "
                              "training ('%%v' expands to the variant name) "

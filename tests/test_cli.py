@@ -102,3 +102,54 @@ def test_cli_export_subcommand(tmp_path, capsys):
                  threshold=2.0)
     assert got["boxes"].shape == (2, 12, 4)
     assert "exit_block" in got
+
+
+def test_cli_evaluate_use_ema_and_export_ema(tmp_path, capsys):
+    """`--use-ema` on evaluate/export reads the saved EMA shadow (round-trips
+    through the whole-model save), and `evaluate --pq` fails fast with a
+    clear error on a non-panoptic model."""
+    save_dir = str(tmp_path / "model")
+    rc = main(["train", "--synthetic", "--synthetic-images", "8",
+               "--model", "synthetic-tiny", "--epochs", "2",
+               "--set", "train.batch_size=4",
+               "--set", "train.ema_decay=0.9",
+               "--save", save_dir])
+    assert rc == 0
+    rc = main(["evaluate", "--synthetic", "--synthetic-images", "8",
+               "--load", save_dir, "--batch-size", "4", "--use-ema"])
+    assert rc == 0
+    assert "mAP:" in capsys.readouterr().out
+
+    rc = main(["evaluate", "--synthetic", "--synthetic-images", "8",
+               "--load", save_dir, "--batch-size", "4", "--pq"])
+    assert rc == 2
+    assert "panoptic" in capsys.readouterr().out
+
+    out_dir = str(tmp_path / "artifact")
+    rc = main(["export", "--load", save_dir, "--out", out_dir,
+               "--platforms", "cpu", "--use-ema"])
+    assert rc == 0
+    from boosted_detr_tpu import serving
+
+    served = serving.load_serving(out_dir)
+    assert served.meta["ema_weights"] is True
+
+
+@pytest.mark.slow
+def test_cli_evaluate_pq_panoptic(tmp_path, capsys):
+    """`evaluate --pq` reports Panoptic Quality for a saved panoptic model
+    (the pipeline emits mask targets via DETRPanoptic.make_pipeline)."""
+    save_dir = str(tmp_path / "model")
+    rc = main(["train", "--synthetic", "--synthetic-images", "8",
+               "--model", "panoptic", "--epochs", "1",
+               *_TINY_SETS,
+               "--set", "model.num_panoptic_heads=2",
+               "--set", "model.panoptic_dim=16",
+               "--save", save_dir])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["evaluate", "--synthetic", "--synthetic-images", "8",
+               "--load", save_dir, "--batch-size", "4", "--pq"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "PQ:" in out and "SQ:" in out and "RQ:" in out

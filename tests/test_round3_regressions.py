@@ -378,6 +378,29 @@ def test_skipinit_backbone_trains_without_batch_stats():
     assert hist["loss"][-1] < hist["loss"][0]
 
 
+def test_agc_masked_off_scalars():
+    """NFNet adaptive gradient clipping must NOT apply to sub-matrix params:
+    on skipinit's ZERO-init skip_gain scalars an unmasked ratio clip caps the
+    update at ~eps*clip forever, freezing every residual branch shut (the
+    measured skipinit_agc val collapse, benchmarks/RESULTS.md)."""
+    import jax.numpy as jnp
+
+    from boosted_detr_tpu.config import TrainConfig
+    from boosted_detr_tpu.train import steps
+
+    params = {"kernel": jnp.ones((3, 3)), "skip_gain": jnp.zeros(())}
+    tx = steps.make_optimizer(TrainConfig(
+        optimizer="adamw", learning_rate=1e-2, lr_schedule="constant",
+        clipnorm=0.0, agc_clip=0.05))
+    state = tx.init(params)
+    grads = {"kernel": jnp.full((3, 3), 10.0), "skip_gain": jnp.asarray(5.0)}
+    updates, _ = tx.update(grads, state, params)
+    # kernel IS ratio-clipped (||update|| ~= lr * clip * ||w|| territory)
+    assert float(jnp.linalg.norm(updates["kernel"])) < 0.05
+    # the zero-init scalar still takes a full adamw step
+    assert abs(float(updates["skip_gain"])) > 5e-3
+
+
 # ---------------------------------------------------------------------------
 # hungarian_host: clear TPU fail-fast (VERDICT r2 next-round #9)
 # ---------------------------------------------------------------------------
@@ -488,3 +511,185 @@ def test_folded_intermediate_matching_parity():
     g_seq, g_fold = scalar(False), scalar(True)
     assert np.allclose(np.asarray(g_seq), np.asarray(g_fold),
                        rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# parameter EMA (TrainConfig.ema_decay): on-device shadow + eval/predict hook
+# ---------------------------------------------------------------------------
+
+
+def _tiny_detr_api(ds, ema_decay=0.0, checkpoint_dir=None):
+    from boosted_detr_tpu import api
+    from boosted_detr_tpu.config import TrainConfig
+
+    model = api.DETR(vocab_dict=ds.get_vocab(), num_object_preds=8,
+                     image_size=(32, 32), num_encoder_blocks=1,
+                     num_encoder_heads=2, encoder_dim=16,
+                     num_decoder_blocks=2, num_decoder_heads=2,
+                     decoder_dim=16, backbone="tiny", backbone_width=0.25,
+                     compute_dtype="float32", max_objects=3,
+                     dropout_rate=0.0)
+    pipe = model.make_pipeline(dataset=ds)
+    df = ds.dataframes("train")
+    sample = next(pipe.batches(df, batch_size=4, seed=0))
+    model.compile(sample_batch=sample, train_config=TrainConfig(
+        optimizer="adamw", learning_rate=1e-3, lr_schedule="constant",
+        clipnorm=0.0, ema_decay=ema_decay, checkpoint_dir=checkpoint_dir))
+    return model, pipe, df, sample
+
+
+def test_ema_shadow_math_exact():
+    """ema_{t} = d*ema_{t-1} + (1-d)*params_t, initialized at the init
+    params — verified leaf-exactly over two real train steps."""
+    import jax
+    import jax.numpy as jnp
+
+    ds = SyntheticShapes(num_images=8, image_size=32, max_objects=2, seed=3)
+    model, pipe, df, sample = _tiny_detr_api(ds, ema_decay=0.9)
+    tr = model.trainer
+    assert tr.state.ema_params is not None
+    p0 = jax.tree.map(np.asarray, tr.state.params)
+    np.testing.assert_array_equal(
+        jax.tree.leaves(jax.tree.map(np.asarray, tr.state.ema_params))[0],
+        jax.tree.leaves(p0)[0])
+
+    batch = {k: jnp.asarray(v) for k, v in sample.items()
+             if k in tr.BATCH_KEYS}
+    rng = jax.random.PRNGKey(0)
+    state = tr.state
+    ema = p0
+    for _ in range(2):
+        state, _ = tr._train_step(state, batch, rng)
+        p = jax.tree.map(np.asarray, state.params)
+        ema = jax.tree.map(lambda e, q: 0.9 * e + 0.1 * q, ema, p)
+    got = jax.tree.map(np.asarray, state.ema_params)
+    for a, b in zip(jax.tree.leaves(ema), jax.tree.leaves(got)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+    # and the shadow genuinely lags the live params
+    diffs = [float(np.max(np.abs(a - b))) for a, b in zip(
+        jax.tree.leaves(got),
+        jax.tree.leaves(jax.tree.map(np.asarray, state.params)))]
+    assert max(diffs) > 0
+
+
+def test_trainer_use_ema_eval_predict_checkpoint(tmp_path):
+    """evaluate/predict(use_ema=True) read the shadow; checkpoints carry it;
+    with_ema_params fails fast when EMA is off."""
+    from boosted_detr_tpu.train import steps as steps_lib
+
+    ds = SyntheticShapes(num_images=8, image_size=32, max_objects=2, seed=4)
+    model, pipe, df, sample = _tiny_detr_api(
+        ds, ema_decay=0.5, checkpoint_dir=str(tmp_path / "ck"))
+    tr = model.trainer
+    model.fit(lambda: pipe.batches(df, batch_size=4, seed=0), epochs=2)
+
+    m_raw = tr.evaluate([sample])
+    m_ema = tr.evaluate([sample], use_ema=True)
+    assert np.isfinite(m_raw["loss"]) and np.isfinite(m_ema["loss"])
+    assert m_raw["loss"] != m_ema["loss"]  # different weights, tiny model
+    preds = tr.predict(sample["image"], decode_text=False, use_ema=True)
+    assert np.isfinite(preds["boxes"]).all()
+
+    # checkpoint round trip preserves the shadow
+    import jax
+    tr.save(step=1, wait=True)
+    want = jax.tree.map(np.asarray, tr.state.ema_params)
+    model2, _, _, _ = _tiny_detr_api(
+        ds, ema_decay=0.5, checkpoint_dir=str(tmp_path / "ck"))
+    assert model2.trainer.restore()
+    got = jax.tree.map(np.asarray, model2.trainer.state.ema_params)
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(a, b)
+
+    # EMA off -> structural None and a clear error on use_ema
+    model3, _, _, _ = _tiny_detr_api(ds, ema_decay=0.0)
+    assert model3.trainer.state.ema_params is None
+    with pytest.raises(ValueError, match="EMA"):
+        steps_lib.with_ema_params(model3.trainer.state)
+
+
+def test_ema_save_load_model_and_serving_export(tmp_path):
+    """The whole-model save path carries the EMA shadow: load_model()
+    rebuilds an EMA-enabled state with the saved shadow restored, and
+    export_serving(use_ema=True) bakes the shadow (not the live params)
+    into the artifact."""
+    import jax
+
+    from boosted_detr_tpu import api, serving
+
+    ds = SyntheticShapes(num_images=8, image_size=32, max_objects=2, seed=5)
+    model, pipe, df, sample = _tiny_detr_api(ds, ema_decay=0.5)
+    model.fit(lambda: pipe.batches(df, batch_size=4, seed=0), epochs=1)
+    tr = model.trainer
+
+    model.save(str(tmp_path / "m"))
+    m2 = api.load_model(str(tmp_path / "m"))
+    assert m2.trainer.state.ema_params is not None
+    want = jax.tree.leaves(jax.tree.map(np.asarray, tr.state.ema_params))
+    got = jax.tree.leaves(
+        jax.tree.map(np.asarray, m2.trainer.state.ema_params))
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a, b)
+
+    # EMA-weight export == predict(use_ema=True), != raw-weight export
+    serving.export_serving(tr, str(tmp_path / "art"), platforms=("cpu",),
+                           use_ema=True)
+    served = serving.load_serving(str(tmp_path / "art"))
+    assert served.meta["ema_weights"] is True
+    images = sample["image"].astype(np.float32)
+    out = served(images, decode_text=False)
+    ref = tr.predict(images, decode_text=False, use_ema=True)
+    np.testing.assert_allclose(out["boxes"], ref["boxes"],
+                               rtol=1e-5, atol=1e-6)
+    raw = tr.predict(images, decode_text=False)
+    assert float(np.max(np.abs(raw["boxes"] - ref["boxes"]))) > 0
+
+
+def test_ema_state_loads_pre_ema_weights(tmp_path):
+    """A weights checkpoint saved WITHOUT EMA loads into an EMA-enabled
+    trainer: params restore, the shadow re-seeds from the restored params
+    (and the reverse direction simply drops the shadow)."""
+    import jax
+
+    ds = SyntheticShapes(num_images=8, image_size=32, max_objects=2, seed=6)
+    plain, pipe, df, sample = _tiny_detr_api(ds, ema_decay=0.0)
+    plain.fit(lambda: pipe.batches(df, batch_size=4, seed=0), epochs=1)
+    plain.trainer.save_weights(str(tmp_path / "w"))
+
+    withema, _, _, _ = _tiny_detr_api(ds, ema_decay=0.5)
+    withema.trainer.load_weights(str(tmp_path / "w"))
+    p = jax.tree.leaves(
+        jax.tree.map(np.asarray, withema.trainer.state.params))
+    e = jax.tree.leaves(
+        jax.tree.map(np.asarray, withema.trainer.state.ema_params))
+    for a, b in zip(p, e):
+        np.testing.assert_array_equal(a, b)
+    want = jax.tree.leaves(
+        jax.tree.map(np.asarray, plain.trainer.state.params))
+    for a, b in zip(want, p):
+        np.testing.assert_array_equal(a, b)
+
+    # reverse: EMA checkpoint into an EMA-less trainer drops the shadow
+    withema.trainer.save_weights(str(tmp_path / "w2"))
+    plain2, _, _, _ = _tiny_detr_api(ds, ema_decay=0.0)
+    plain2.trainer.load_weights(str(tmp_path / "w2"))
+    assert plain2.trainer.state.ema_params is None
+
+    # same cross-compatibility on the CheckpointManager resume path
+    plain3, _, _, _ = _tiny_detr_api(
+        ds, ema_decay=0.0, checkpoint_dir=str(tmp_path / "ck"))
+    plain3.trainer.save(step=1, wait=True)
+    resumed, _, _, _ = _tiny_detr_api(
+        ds, ema_decay=0.5, checkpoint_dir=str(tmp_path / "ck"))
+    assert resumed.trainer.restore()  # pre-EMA ckpt -> shadow seeds
+    a = jax.tree.leaves(
+        jax.tree.map(np.asarray, resumed.trainer.state.ema_params))
+    b = jax.tree.leaves(
+        jax.tree.map(np.asarray, resumed.trainer.state.params))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    resumed.trainer.save(step=2, wait=True)
+    back, _, _, _ = _tiny_detr_api(
+        ds, ema_decay=0.0, checkpoint_dir=str(tmp_path / "ck"))
+    assert back.trainer.restore()  # EMA ckpt -> EMA-less state: dropped
+    assert back.trainer.state.ema_params is None
