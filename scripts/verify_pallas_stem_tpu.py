@@ -7,9 +7,12 @@ Mosaic-compiled kernel on the TPU chip and checks it against the XLA
 
 1. forward, bf16 weights, 640px batch-8 images (the bench shape);
 2. dW through the custom VJP (the sequential-grid f32 accumulator);
-3. the full flagship model: loss + grad-norm with use_pallas_stem on/off
-   from IDENTICAL params (the stem param tree mirrors nn.Conv, so one init
-   serves both);
+3. the full flagship model: outputs, loss + grad-norm with use_pallas_stem
+   on/off from IDENTICAL params (the stem param tree mirrors nn.Conv, so one
+   init serves both), gated against an eps-PERTURBATION CONTROL — the model
+   is a chaos amplifier (50 layers + discrete matching on the zero-init-query
+   tie structure), so "pallas == xla" is judged relative to how much
+   "xla == xla + 1-ulp stem noise" itself diverges;
 4. a stem-only fwd+bwd microbench (pallas vs XLA, content-chained chunks —
    see CLAUDE.md: block_until_ready does not sync on this tunnel).
 
@@ -117,27 +120,49 @@ def main():
     }
     weights = steps.LossWeights()
 
-    # f32 is the STRICT parity gate (the kernel is near-bit-exact there).
-    # In bf16 the fused stem rounds differently from XLA's
-    # affine-then-convert-then-conv order (both are valid bf16 programs);
-    # the discrete bipartite matching can flip on near-tie costs, which
-    # moves loss/grads macroscopically — so bf16 gates on model OUTPUTS
-    # (pre-matching, where only rounding shows) and reports loss/grads.
+    # The kernel is near-bit-exact in f32 (checked above, isolated), but the
+    # FULL MODEL is a chaos amplifier: ~1e-7-relative stem rounding grows
+    # through ~50 conv/BN layers + softmax to O(1e-3) in the category probs,
+    # and the bipartite matcher is discrete — zero-init queries make all 96
+    # predictions identical at init, so the cost matrix is all near-ties and
+    # ANY perturbation flips assignments, moving loss/grads macroscopically.
+    # The honest full-model gate is therefore a PERTURBATION CONTROL: scale
+    # the XLA model's stem kernel by (1 + ~1e-7 noise) — the same order as
+    # the pallas kernel's f32 rounding — and require the pallas-vs-XLA
+    # divergence to be within a small factor of the XLA-vs-XLA(perturbed)
+    # divergence on every compared quantity.
+    def max_abs(a, b):
+        return float(jnp.max(jnp.abs(jnp.asarray(a, jnp.float32)
+                                     - jnp.asarray(b, jnp.float32))))
+
     for dtype, strict in (("float32", True), ("bfloat16", False)):
         cfg, model_x = build(False, dtype)
         _, model_p = build(True, dtype)
         variables = jax.jit(model_x.init, static_argnames=("train",))(
             jax.random.PRNGKey(0), images, train=False)
 
+        # control variables: stem kernel scaled by (1 + eps*rademacher)
+        eps = 1e-7 if strict else 1e-3  # ~one-ulp of f32 / bf16
+        stem_k = variables["params"]["backbone"]["resnet"]["stem"]["conv"][
+            "kernel"]
+        noise = jnp.asarray(
+            rng.integers(0, 2, stem_k.shape) * 2 - 1, stem_k.dtype)
+        variables_c = jax.tree_util.tree_map(lambda x: x, variables)
+        variables_c["params"]["backbone"]["resnet"]["stem"]["conv"][
+            "kernel"] = stem_k * (1 + eps * noise)
+
         fwd_x = jax.jit(lambda v: model_x.apply(v, images, train=False))
         fwd_p = jax.jit(lambda v: model_p.apply(v, images, train=False))
         out_x, out_p = fwd_x(variables), fwd_p(variables)
-        tol_out = 1e-4 if strict else 3e-2
-        ok &= check_close(f"model boxes [{dtype}]", out_p["boxes"],
-                          out_x["boxes"], tol_out, tol_out)
-        ok &= check_close(f"model cat logits [{dtype}]",
-                          out_p["category"],
-                          out_x["category"], tol_out, tol_out)
+        out_c = fwd_x(variables_c)
+        for key in ("boxes", "category"):
+            d_pal = max_abs(out_p[key], out_x[key])
+            d_ctl = max_abs(out_c[key], out_x[key])
+            passed = d_pal <= max(3.0 * d_ctl, 1e-6)
+            ok &= passed
+            print(f"  model {key} [{dtype}]: pallas-vs-xla max|d| "
+                  f"{d_pal:.3e} vs eps-control {d_ctl:.3e} -> "
+                  f"{'OK' if passed else 'FAIL'}", flush=True)
 
         def loss_fn(model, cfg=cfg):
             def f(params, bs):
@@ -153,25 +178,33 @@ def main():
                                   variables["batch_stats"])
         lp, gp = loss_fn(model_p)(variables["params"],
                                   variables["batch_stats"])
-        gnx = jnp.sqrt(sum((g.astype(jnp.float32) ** 2).sum()
-                           for g in jax.tree.leaves(gx)))
-        gnp_ = jnp.sqrt(sum((g.astype(jnp.float32) ** 2).sum()
-                            for g in jax.tree.leaves(gp)))
-        stem_gx = gx["backbone"]["resnet"]["stem"]["conv"]["kernel"]
-        stem_gp = gp["backbone"]["resnet"]["stem"]["conv"]["kernel"]
+        lc, gc = loss_fn(model_x)(variables_c["params"],
+                                  variables_c["batch_stats"])
+
+        def gnorm(g):
+            return float(jnp.sqrt(sum((t.astype(jnp.float32) ** 2).sum()
+                                      for t in jax.tree.leaves(g))))
+
+        def stem_g(g):
+            return g["backbone"]["resnet"]["stem"]["conv"]["kernel"]
+
         print(f"  [{dtype}] model loss xla={float(lx):.6f} "
-              f"pallas={float(lp):.6f} gradnorm xla={float(gnx):.4f} "
-              f"pallas={float(gnp_):.4f}", flush=True)
-        if strict:
-            ok &= check_close("model loss [f32]", lp, lx, 2e-4, 1e-5)
-            ok &= check_close("model gradnorm [f32]", gnp_, gnx, 2e-3, 1e-5)
-            ok &= check_close("stem kernel grad [f32]", stem_gp, stem_gx,
-                              5e-3, 1e-4)
-        else:
-            # informational: matcher flips make these diverge by design
-            check_close("model loss [bf16, info]", lp, lx, 2e-3, 1e-4)
-            check_close("stem kernel grad [bf16, info]", stem_gp, stem_gx,
-                        6e-2, 2e-3)
+              f"pallas={float(lp):.6f} eps-control={float(lc):.6f} "
+              f"gradnorm xla={gnorm(gx):.4f} pallas={gnorm(gp):.4f} "
+              f"control={gnorm(gc):.4f}", flush=True)
+        for tag, d_pal, d_ctl, floor in (
+            ("loss", abs(float(lp) - float(lx)),
+             abs(float(lc) - float(lx)), 1e-5 * abs(float(lx))),
+            ("gradnorm", abs(gnorm(gp) - gnorm(gx)),
+             abs(gnorm(gc) - gnorm(gx)), 1e-4 * gnorm(gx)),
+            ("stem-kernel-grad", max_abs(stem_g(gp), stem_g(gx)),
+             max_abs(stem_g(gc), stem_g(gx)), 0.0),
+        ):
+            passed = d_pal <= max(3.0 * d_ctl, floor)
+            ok &= passed
+            print(f"  model {tag} [{dtype}]: pallas-vs-xla |d| "
+                  f"{d_pal:.3e} vs eps-control {d_ctl:.3e} -> "
+                  f"{'OK' if passed else 'FAIL'}", flush=True)
 
     # -- 4: stem-only fwd+bwd microbench ------------------------------------
     # SKIP_BENCH=1 runs the numeric checks only (timing is garbage while the
