@@ -160,6 +160,12 @@ class TrainConfig:
     # Loss on intermediate decoder blocks (reference model.py:179 hard-codes
     # False for standard DETR; boosted always uses per-block losses).
     use_intermediate_losses: bool = False
+    # Average (rather than sum) the per-block intermediate losses: keeps the
+    # gradient scale of a single-block run, so aux supervision composes with
+    # a learning rate tuned WITHOUT it (summing L blocks multiplies the
+    # effective lr by ~L — measured to push lr 1e-4 past the divergence
+    # point on the val-suite protocol, benchmarks/RESULTS.md).
+    intermediate_loss_avg: bool = False
     seed: int = 0
     # mesh
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {"data": 8}

@@ -269,6 +269,13 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig
             # focused model the list already holds just that block
             preds_list = [preds_list[min(loss_block, len(preds_list) - 1)]]
         loss, aux = compute_losses(preds_list, batch, model_cfg, weights)
+        if (intermediate and train_cfg.intermediate_loss_avg
+                and len(preds_list) > 1):
+            # mean over blocks: single-block gradient scale (config.py)
+            scale = 1.0 / len(preds_list)
+            loss = loss * scale
+            aux = {k: (v * scale if k.startswith("loss_") else v)
+                   for k, v in aux.items()}
         return loss, (aux, mutated.get("batch_stats", {}))
 
     return make_update_step(loss_fn, ema_decay=train_cfg.ema_decay)

@@ -43,12 +43,23 @@ VARIANTS = {
     # stabilizer; plain skipinit spikes mid-run under this protocol)
     "skipinit_agc": ("detr", dict(backbone="resnet", stem="patchify8",
                                   norm="skipinit", _agc=0.05)),
+    # skipinit + Keras-style per-variable clipnorm: AGC collapses under
+    # adamw (measured — see RESULTS.md), so attack the mid-run spike
+    # directly with a hard per-tensor gradient ceiling instead
+    "skipinit_clip": ("detr", dict(backbone="resnet", stem="patchify8",
+                                   norm="skipinit", _clipnorm=1.0)),
     # DETR-paper aux decoder supervision (shared heads, per-block
     # matching) — the reference documents this standard-DETR regime at
     # README.md:65 but hard-codes it off (model.py:179); here it is the
     # quality lever measured by the round-3 val suite
     "flagship_aux": ("detr", dict(backbone="resnet", stem="patchify8",
                                   _aux_losses=True)),
+    # aux supervision at the SINGLE-BLOCK gradient scale (mean over blocks
+    # instead of sum): composes with the protocol's lr 1e-4 directly — the
+    # clean A/B against flagship for "does aux supervision help at equal
+    # effective lr", vs flagship_aux's summed losses which need an lr retune
+    "flagship_auxavg": ("detr", dict(backbone="resnet", stem="patchify8",
+                                    _aux_losses=True, _aux_avg=True)),
     # flagship + parameter EMA (TrainConfig.ema_decay): reports BOTH raw and
     # EMA val mAP from one run — the standard DETR eval-quality lever
     "flagship_ema": ("detr", dict(backbone="resnet", stem="patchify8",
@@ -83,7 +94,9 @@ def run_variant(name, args):
     family, overrides = VARIANTS[name]
     overrides = dict(overrides)
     aux_losses = overrides.pop("_aux_losses", False)
+    aux_avg = overrides.pop("_aux_avg", False)
     agc_clip = overrides.pop("_agc", 0.0)
+    clipnorm = overrides.pop("_clipnorm", 0.0)
     ema_decay = overrides.pop("_ema", 0.0)
     size = 64 if args.cpu else 640
     if args.cpu:
@@ -195,11 +208,12 @@ def run_variant(name, args):
 
         model = DETR(cfg)
         tcfg0 = TrainConfig(optimizer="adamw", learning_rate=args.lr,
-                            lr_schedule="constant", clipnorm=0.0,
+                            lr_schedule="constant", clipnorm=clipnorm,
                             ema_decay=ema_decay,
                             agc_clip=agc_clip,
                             batch_size=args.batch_size,
-                            use_intermediate_losses=aux_losses)
+                            use_intermediate_losses=aux_losses,
+                            intermediate_loss_avg=aux_avg)
         train_step = steps.make_train_step(model, cfg, tcfg0)
 
     variables = jax.jit(model.init)(

@@ -693,3 +693,56 @@ def test_ema_state_loads_pre_ema_weights(tmp_path):
         ds, ema_decay=0.0, checkpoint_dir=str(tmp_path / "ck"))
     assert back.trainer.restore()  # EMA ckpt -> EMA-less state: dropped
     assert back.trainer.state.ema_params is None
+
+
+def test_intermediate_loss_avg_is_sum_over_blocks():
+    """TrainConfig.intermediate_loss_avg: mean-over-blocks aux supervision
+    reports exactly (summed loss)/L from the same state — the single-block
+    gradient scale that composes with an lr tuned without aux losses
+    (benchmarks/RESULTS.md: summed aux losses push lr 1e-4 past the
+    val-suite protocol's divergence point)."""
+    import jax
+    import jax.numpy as jnp
+
+    from boosted_detr_tpu.config import ModelConfig, TrainConfig
+    from boosted_detr_tpu.models.detr import DETR
+    from boosted_detr_tpu.train import steps
+
+    rng = np.random.default_rng(3)
+    B, O = 2, 4
+    cfg = ModelConfig(image_size=(32, 32), backbone="tiny",
+                      backbone_width=0.25, max_objects=O,
+                      num_categories=7, num_attributes=5,
+                      num_encoder_blocks=1, num_decoder_blocks=3,
+                      encoder_dim=32, decoder_dim=32,
+                      num_encoder_heads=2, num_decoder_heads=2,
+                      num_object_preds=6, matcher="hungarian",
+                      dropout_rate=0.0)
+    model = DETR(cfg)
+    batch = {
+        "image": jnp.asarray(rng.uniform(0, 1, (B, 32, 32, 3)), jnp.float32),
+        "bbox": jnp.asarray(rng.uniform(0.1, 0.4, (B, O, 4)), jnp.float32),
+        "num_objects": jnp.asarray([2, 1], jnp.int32),
+        "category_ids": jnp.asarray(rng.integers(1, 6, (B, O)), jnp.int32),
+        "attribute_ids": jnp.zeros((B, O, 1), jnp.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["image"])
+    tcfg = TrainConfig(optimizer="adamw", learning_rate=1e-4,
+                       lr_schedule="constant", use_intermediate_losses=True)
+    auxes = {}
+    for avg in (False, True):
+        step = steps.make_train_step(
+            model, cfg, tcfg.replace(intermediate_loss_avg=avg))
+        state = steps.TrainState.create(
+            variables["params"], variables.get("batch_stats", {}),
+            steps.make_optimizer(tcfg, d_model=cfg.decoder_dim))
+        _, aux = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+        auxes[avg] = aux
+    L = cfg.num_decoder_blocks
+    assert np.isclose(float(auxes[True]["loss"]),
+                      float(auxes[False]["loss"]) / L, rtol=1e-6)
+    assert np.isclose(float(auxes[True]["loss_total"]),
+                      float(auxes[False]["loss_total"]) / L, rtol=1e-6)
+    # metrics (iou) are not losses and must NOT be scaled
+    assert np.isclose(float(auxes[True]["iou"]),
+                      float(auxes[False]["iou"]), rtol=1e-6)
