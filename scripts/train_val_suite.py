@@ -15,9 +15,13 @@ Mirrors the reference's only quality evidence: validation-image
 generalization (reference README.md:23-33).
 
 Usage:
-  python scripts/train_val_suite.py --variant flagship --steps 6000
+  python scripts/train_val_suite.py --variant flagship   # locked protocol
   python scripts/train_val_suite.py --variant conv7 patchify vit_p32
   python scripts/train_val_suite.py --cpu --quick   # tiny CPU sanity run
+
+Defaults ARE the locked protocol; pre-warm the /tmp render caches with
+--render-cache-only before a TPU sweep (rendering 1024 images is ~5-20 min
+of host time).
 """
 
 from __future__ import annotations
@@ -286,6 +290,8 @@ def run_variant(name, args):
             parts.append(np.asarray(auxes["loss"]))
             done += n
             total_done += n
+            print(f"[{name}] step {total_done}: loss "
+                  f"{last_aux.get('loss', float('nan')):.2f}", flush=True)
         return state
 
     t0 = time.time()
@@ -406,19 +412,24 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--variant", nargs="+", default=["flagship"],
                         choices=sorted(VARIANTS))
-    parser.add_argument("--images", type=int, default=256)
+    # Defaults ARE the locked round-3 protocol (benchmarks/RESULTS.md):
+    # 1024 train / 64 val, min box side 0.1, dropout 0, 24k steps @ 1e-4
+    # + 6k @ 1e-5, batch 8, chunk 500. lr 3e-4 DIVERGES on this suite.
+    parser.add_argument("--images", type=int, default=1024)
     parser.add_argument("--val-images", type=int, default=64)
     parser.add_argument("--batch-size", type=int, default=8)
-    parser.add_argument("--steps", type=int, default=6000)
-    parser.add_argument("--lr", type=float, default=3e-4)
-    parser.add_argument("--lr2", type=float, default=3e-5)
-    parser.add_argument("--steps2", type=int, default=2000)
-    parser.add_argument("--chunk", type=int, default=1000,
+    parser.add_argument("--steps", type=int, default=24000)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--lr2", type=float, default=1e-5)
+    parser.add_argument("--steps2", type=int, default=6000)
+    parser.add_argument("--chunk", type=int, default=500,
                         help="max steps per dispatch (tunnel worker crashes "
                              "past ~60s in one dispatch)")
-    parser.add_argument("--dropout", type=float, default=0.1,
-                        help="dropout rate (reference trains with 0.1; 0 "
-                             "turns the suite into an overfit drive)")
+    parser.add_argument("--dropout", type=float, default=0.0,
+                        help="dropout rate (protocol default 0: dropout 0.1 "
+                             "blocks box convergence at the 30k budget — "
+                             "RESULTS.md; regularization comes from "
+                             "augmentation + data instead)")
     parser.add_argument("--augment", type=int, default=1,
                         help="1 = on-device augmentation inside the scan")
     parser.add_argument("--augment-color", type=int, default=0,
@@ -426,9 +437,9 @@ def main():
                              "SyntheticShapes: categories ARE colors)")
     parser.add_argument("--max-objects", type=int, default=5,
                         help="objects per image drawn from [1, N]")
-    parser.add_argument("--min-size", type=float, default=0.08,
-                        help="min normalized box side (0.08 = 51px at "
-                             "640: >= ~2 stride-32 tokens)")
+    parser.add_argument("--min-size", type=float, default=0.1,
+                        help="min normalized box side (protocol 0.1 = 64px "
+                             "at 640: spans the COCO medium/large buckets)")
     parser.add_argument("--hard", action="store_true",
                         help="use the SyntheticShapes.hard() tier (2-8 "
                              "objects, sides 0.04-0.6; needs >>30k steps)")
