@@ -98,6 +98,7 @@ def test_two_process_distributed_train_smoke():
 
 _MULTIHOST_FULL_WORKER = """
 import sys
+sys.path.insert(0, '__REPO_ROOT__')  # script runs from tmp_path; cwd is not on sys.path
 import jax
 jax.config.update('jax_platforms', 'cpu')
 pid, port, ckpt = int(sys.argv[1]), sys.argv[2], sys.argv[3]
@@ -163,7 +164,8 @@ def test_two_process_scan_eval_map_checkpoint(tmp_path):
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
     script = tmp_path / "worker.py"
-    script.write_text(_MULTIHOST_FULL_WORKER)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script.write_text(_MULTIHOST_FULL_WORKER.replace("__REPO_ROOT__", repo_root))
     ckpt = str(tmp_path / "ckpt")
 
     def worker(pid):
