@@ -62,7 +62,9 @@ class ModelConfig:
     classification_only: bool = False
 
     # --- architecture ---
-    # efficientnet_lite | resnet | tiny | vit[_pP][_dD][_wW][_hH]
+    # efficientnet_lite | efficientnet_b4 (faithful: SE + swish + B4
+    # compound scaling, param-pinned vs keras) | resnet | tiny |
+    # vit[_pP][_dD][_wW][_hH]
     # ("vit" = pre-LN ViT-Small-ish, dim 384 / 8 blocks / 6 heads / patch 16
     # — a TPU-first extension with no BatchNorm at any resolution; see
     # models/backbone.py ViTBackbone and benchmarks/RESULTS.md)

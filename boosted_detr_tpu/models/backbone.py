@@ -358,6 +358,135 @@ class EfficientNetLiteBackbone(nn.Module):
         return x
 
 
+class SEBlock(nn.Module):
+    """Squeeze-and-Excitation: global-average pool -> 1x1 reduce (swish) ->
+    1x1 restore (sigmoid) -> channel gate. ``se_filters`` follows the
+    EfficientNet rule: max(1, int(block_input_channels * se_ratio)) — the
+    reduction is relative to the block INPUT, not the expanded width."""
+
+    se_filters: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        s = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.se_filters, (1, 1), dtype=self.dtype,
+                    name="reduce")(s.astype(self.dtype))
+        s = nn.swish(s)
+        s = nn.Conv(c, (1, 1), dtype=self.dtype, name="expand")(s)
+        return x * jax.nn.sigmoid(s.astype(jnp.float32)).astype(x.dtype)
+
+
+class MBConvSEBlock(nn.Module):
+    """Faithful EfficientNet MBConv: 1x1 expand -> depthwise -> SE ->
+    1x1 project, swish activations, stochastic depth on the residual
+    (Tan & Le 2019; the reference's default backbone is keras
+    ``EfficientNetB4(weights=None)``, reference backbone.py:28-31)."""
+
+    features: int
+    expand: int = 6
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    se_ratio: float = 0.25
+    drop_rate: float = 0.0  # stochastic-depth rate for this block
+    norm: str = "batchnorm"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        in_feats = x.shape[-1]
+        residual = x
+        y = x
+        if self.expand != 1:
+            y = ConvNormAct(in_feats * self.expand, (1, 1), norm=self.norm,
+                            act=nn.swish, dtype=self.dtype, name="expand")(
+                                y, train=train)
+        y = ConvNormAct(y.shape[-1], self.kernel, self.strides,
+                        norm=self.norm, act=nn.swish, dtype=self.dtype,
+                        groups=y.shape[-1], name="depthwise")(y, train=train)
+        if self.se_ratio:
+            y = SEBlock(max(1, int(in_feats * self.se_ratio)),
+                        dtype=self.dtype, name="se")(y)
+        y = ConvNormAct(self.features, (1, 1), norm=self.norm, act=None,
+                        dtype=self.dtype, name="project")(y, train=train)
+        if self.strides == (1, 1) and in_feats == self.features:
+            if train and self.drop_rate > 0.0:
+                # stochastic depth (keras 'drop' layer, noise on batch only)
+                keep = 1.0 - self.drop_rate
+                rng = self.make_rng("dropout")
+                mask = jax.random.bernoulli(rng, keep, (y.shape[0], 1, 1, 1))
+                y = y * (mask.astype(y.dtype) / keep)
+            y = y + residual
+        return y
+
+
+def _round_filters(filters: float, width: float, divisor: int = 8) -> int:
+    """EfficientNet channel rounding (Tan & Le 2019, keras semantics)."""
+    f = filters * width
+    new = max(divisor, int(f + divisor / 2) // divisor * divisor)
+    if new < 0.9 * f:
+        new += divisor
+    return int(new)
+
+
+def _round_repeats(repeats: int, depth: float) -> int:
+    return int(np.ceil(depth * repeats))
+
+
+class EfficientNetBackbone(nn.Module):
+    """Faithful EfficientNet (squeeze-excite, swish, compound scaling),
+    stride 32 — the architecture of the reference's default backbone
+    (keras ``EfficientNetB4(include_top=False, weights=None)``, reference
+    backbone.py:28-31). ``width=1.4, depth=1.8`` are the B4 coefficients;
+    the param count is pinned against keras B4's published 17,673,823
+    (tests/test_efficientnet_b4.py).
+
+    TPU note: depthwise convs are HBM-bandwidth-bound on the MXU, so this
+    exists for architecture parity and quality comparison;
+    ``efficientnet_lite`` (and the ResNet flagship) remain the TPU-first
+    recommendations (benchmarks/RESULTS.md)."""
+
+    width: float = 1.4  # B4
+    depth: float = 1.8  # B4
+    drop_connect_rate: float = 0.2
+    norm: str = "batchnorm"
+    dtype: jnp.dtype = jnp.float32
+
+    # B0 base: (filters_out, repeats, stride, kernel, expand)
+    BASE = ((16, 1, (1, 1), (3, 3), 1),
+            (24, 2, (2, 2), (3, 3), 6),
+            (40, 2, (2, 2), (5, 5), 6),
+            (80, 3, (2, 2), (3, 3), 6),
+            (112, 3, (1, 1), (5, 5), 6),
+            (192, 4, (2, 2), (5, 5), 6),
+            (320, 1, (1, 1), (3, 3), 6))
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = ConvNormAct(_round_filters(32, self.width), (3, 3), (2, 2),
+                        norm=self.norm, act=nn.swish, dtype=self.dtype,
+                        name="stem")(x, train=train)
+        total = sum(_round_repeats(r, self.depth) for _, r, _, _, _ in
+                    self.BASE)
+        done = 0
+        for s, (feats, repeats, strides, kernel, expand) in enumerate(
+                self.BASE):
+            feats = _round_filters(feats, self.width)
+            for i in range(_round_repeats(repeats, self.depth)):
+                x = MBConvSEBlock(
+                    feats, expand, kernel, strides if i == 0 else (1, 1),
+                    se_ratio=0.25,
+                    drop_rate=self.drop_connect_rate * done / total,
+                    norm=self.norm, dtype=self.dtype,
+                    name=f"stage{s}_block{i}")(x, train=train)
+                done += 1
+        x = ConvNormAct(_round_filters(1280, self.width), (1, 1),
+                        norm=self.norm, act=nn.swish, dtype=self.dtype,
+                        name="head")(x, train=train)
+        return x
+
+
 class ViTBlock(nn.Module):
     """Standard pre-LN transformer block (attention + 4x-GELU MLP).
 
@@ -579,6 +708,13 @@ class EncoderBackbone(nn.Module):
         elif self.backbone == "efficientnet_lite":
             net = EfficientNetLiteBackbone(self.width, norm=self.norm,
                                            dtype=self.dtype, name="effnet")
+        elif self.backbone == "efficientnet_b4":
+            # the reference's literal default architecture (keras B4 from
+            # scratch, reference backbone.py:28-31); ``width`` multiplies
+            # the B4 width coefficient
+            net = EfficientNetBackbone(1.4 * self.width, 1.8,
+                                       norm=self.norm, dtype=self.dtype,
+                                       name="effnet_b4")
         elif self.backbone == "tiny":
             net = TinyBackbone(self.width, norm=self.norm, dtype=self.dtype,
                                name="tiny")
