@@ -110,6 +110,22 @@ def make_optimizer(cfg: TrainConfig, d_model: int = 256,
     return tx
 
 
+def boosted_block_mask(params, k: int):
+    """Trainable mask for staged boosting: only weak-learner block k's
+    layers (encoder_k / decoder_block_k / *_head_k, plus the shared
+    decoder_prep queries) train; everything else — including the backbone —
+    freezes (the reference's stage recipe, Boosted_DETR_COCO.ipynb cell
+    30)."""
+    wanted = {f"encoder_{k}", f"decoder_block_{k}", f"category_head_{k}",
+              f"attribute_head_{k}", f"box_head_{k}", "decoder_prep"}
+
+    def decide(path, _):
+        top = getattr(path[0], "key", None)
+        return top in wanted
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
 def apply_trainable_mask(tx: optax.GradientTransformation,
                          trainable_mask) -> optax.GradientTransformation:
     """Wrap any optimizer so params where the mask is False get zero updates

@@ -67,14 +67,7 @@ class Trainer:
         k = self.train_cfg.train_block
         if k is None:
             return None
-        wanted = {f"encoder_{k}", f"decoder_block_{k}", f"category_head_{k}",
-                  f"attribute_head_{k}", f"box_head_{k}", "decoder_prep"}
-
-        def decide(path, _):
-            top = getattr(path[0], "key", None)
-            return top in wanted
-
-        return jax.tree_util.tree_map_with_path(decide, params)
+        return steps_lib.boosted_block_mask(params, k)
 
     def _is_panoptic(self) -> bool:
         from boosted_detr_tpu.models import panoptic as panoptic_lib

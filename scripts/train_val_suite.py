@@ -79,6 +79,12 @@ VARIANTS = {
     "vit_p16": ("detr", dict(backbone="vit")),
     "vit_p16_qk": ("detr", dict(backbone="vit_qk")),  # spike stabilizer
     "boosted": ("boosted", dict(backbone="resnet", stem="patchify8")),
+    # the reference's signature staged regime (Boosted_DETR_COCO.ipynb cell
+    # 30): joint warmup, then one weak-learner block at a time (backbone +
+    # other blocks frozen via optimizer masks, focused forward), then a
+    # joint low-lr polish — same TOTAL budget as every other row
+    "boosted_staged": ("boosted_staged",
+                       dict(backbone="resnet", stem="patchify8")),
     "panoptic": ("panoptic", dict(backbone="resnet", stem="patchify8")),
 }
 
@@ -197,7 +203,7 @@ def run_variant(name, args):
                             ema_decay=ema_decay,
                             batch_size=args.batch_size)
         train_step = make_step(tcfg0)
-    elif family == "boosted":
+    elif family in ("boosted", "boosted_staged"):
         from boosted_detr_tpu.models.boosted import BoostedDETR
 
         model = BoostedDETR(cfg)
@@ -247,8 +253,14 @@ def run_variant(name, args):
 
     # data as ARGUMENT, not closure: baked-in constants blow up the tunnel's
     # remote-compile payload (HTTP 413; see train_flagship_tpu.py)
-    @functools.partial(jax.jit, static_argnums=3)
-    def run(state, data, offset, n):
+    # run() is built per phase/stage via a factory: a NEW jit object per
+    # stage guarantees a fresh trace even when the opt-state treedef is
+    # unchanged (staged masks all share the multi_transform structure, so
+    # relying on treedef-driven retrace would silently keep the previous
+    # stage's train_step)
+    def make_run(train_step):
+      @functools.partial(jax.jit, static_argnums=3)
+      def run(state, data, offset, n):
         def body(carry, i):
             st, _ = carry
             step = offset + i
@@ -275,6 +287,9 @@ def run_variant(name, args):
                                          jnp.arange(n))
         return state, auxes
 
+      return run
+
+    run = make_run(train_step)
     parts = []
     last_aux = {}
     total_done = 0
@@ -308,16 +323,47 @@ def run_variant(name, args):
         parts.append(np.asarray([np.nan], np.float32))
         print(f"[{name}] loaded params from {args.load_params}; eval-only",
               flush=True)
+    elif family == "boosted_staged":
+        # reference stage recipe under the SAME total budget as every other
+        # row: joint warmup (the backbone must learn first — the reference
+        # starts from a pretrained backbone, cell 12), then block-at-a-time
+        # with everything else frozen (focused forward: stage k costs
+        # ~(k+1)/L of a full step), then a joint low-lr polish.
+        n_blk = cfg.num_decoder_blocks
+        warm = args.steps // 4
+        per_block = (args.steps - warm) // n_blk
+        stages = [(None, warm, args.lr)]
+        stages += [(k, per_block, args.lr) for k in range(n_blk)]
+        stages += [(None, args.steps2, args.lr2)]
+        first = True
+        for k, n_steps, lr in stages:
+            if not n_steps:
+                continue
+            tcfg_k = tcfg0.replace(learning_rate=lr, train_block=k)
+            train_step = steps.make_train_step(model, cfg, tcfg_k)
+            run = make_run(train_step)
+            mask = (steps.boosted_block_mask(state.params, k)
+                    if k is not None else None)
+            if not first:
+                state = steps.TrainState.create(
+                    state.params, state.batch_stats,
+                    steps.make_optimizer(tcfg_k, d_model=cfg.decoder_dim,
+                                         trainable_mask=mask)
+                ).replace(ema_params=state.ema_params)
+            first = False
+            print(f"[{name}] stage train_block={k} lr={lr} "
+                  f"({n_steps} steps)", flush=True)
+            state = run_phase(state, n_steps)
     else:
         state = run_phase(state, args.steps)
-    if not args.load_params and args.lr2 and args.steps2:
+    if (not args.load_params and args.lr2 and args.steps2
+            and family != "boosted_staged"):
         tcfg2 = tcfg0.replace(learning_rate=args.lr2)
         if family == "panoptic":
             train_step = make_step(tcfg2)
         else:
             train_step = steps.make_train_step(model, cfg, tcfg2)
-        # the fresh optimizer tx is a static TrainState field -> new treedef
-        # -> the next run() call retraces and picks up the rebound train_step
+        run = make_run(train_step)
         state = steps.TrainState.create(
             state.params, state.batch_stats,
             steps.make_optimizer(tcfg2, d_model=cfg.decoder_dim)
