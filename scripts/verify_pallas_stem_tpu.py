@@ -135,6 +135,11 @@ def main():
         return float(jnp.max(jnp.abs(jnp.asarray(a, jnp.float32)
                                      - jnp.asarray(b, jnp.float32))))
 
+    N_CONTROL_DRAWS = 3  # the flip statistics are heavy-tailed: one draw
+    # can land few assignment flips on one quantity (measured: a control
+    # draw moved gradnorm by 40 but loss by only 0.007) — gate against the
+    # MAX divergence over several independent one-ulp draws instead.
+
     for dtype, strict in (("float32", True), ("bfloat16", False)):
         cfg, model_x = build(False, dtype)
         _, model_p = build(True, dtype)
@@ -145,24 +150,48 @@ def main():
         eps = 1e-7 if strict else 1e-3  # ~one-ulp of f32 / bf16
         stem_k = variables["params"]["backbone"]["resnet"]["stem"]["conv"][
             "kernel"]
-        noise = jnp.asarray(
-            rng.integers(0, 2, stem_k.shape) * 2 - 1, stem_k.dtype)
-        variables_c = jax.tree_util.tree_map(lambda x: x, variables)
-        variables_c["params"]["backbone"]["resnet"]["stem"]["conv"][
-            "kernel"] = stem_k * (1 + eps * noise)
+
+        def perturbed(draw):
+            # NON-CANCELING perturbation: scale magnitudes by (1+d)*eps in
+            # the direction of sign(k). A zero-mean rademacher draw at
+            # eps=1e-7 cancels in sum(k) below f32 resolution, and the axon
+            # tunnel DEDUPLICATES dispatches on a checksum-like digest of
+            # the argument buffers — three rademacher controls came back
+            # bit-identical to the unperturbed run (loss 157.3648 x3) while
+            # the same code at bf16/eps=1e-3 (checksum moves) measured real
+            # divergence. sign(k)-aligned noise moves sum(k) by
+            # eps*sum|k| >> ulp, defeating the dedup while staying a
+            # one-ulp-scale control.
+            v = jax.tree_util.tree_map(lambda x: x, variables)
+            noise = jnp.sign(stem_k) + (stem_k == 0).astype(stem_k.dtype)
+            kp = stem_k * (1 + (eps * (1 + draw)) * noise)
+            frac = float((kp != stem_k).mean())
+            if frac == 0.0:
+                print(f"  WARNING: perturbation draw {draw} left the kernel "
+                      f"unchanged on device (eps={eps}) — rerun", flush=True)
+            v["params"]["backbone"]["resnet"]["stem"]["conv"]["kernel"] = kp
+            return v
 
         fwd_x = jax.jit(lambda v: model_x.apply(v, images, train=False))
         fwd_p = jax.jit(lambda v: model_p.apply(v, images, train=False))
         out_x, out_p = fwd_x(variables), fwd_p(variables)
-        out_c = fwd_x(variables_c)
+        out_cs = [fwd_x(perturbed(d)) for d in range(N_CONTROL_DRAWS)]
         for key in ("boxes", "category"):
             d_pal = max_abs(out_p[key], out_x[key])
-            d_ctl = max_abs(out_c[key], out_x[key])
-            passed = d_pal <= max(3.0 * d_ctl, 1e-6)
+            d_ctl = max(max_abs(c[key], out_x[key]) for c in out_cs)
+            # a one-ulp stem change MUST move the outputs of a 50-layer
+            # model; an exactly-zero control means the measurement itself
+            # failed (a tunnel dispatch-memoization glitch was observed
+            # doing this under host contention) — fail loudly, rerun.
+            sane = d_ctl > 0.0
+            passed = sane and d_pal <= max(3.0 * d_ctl, 1e-6)
             ok &= passed
             print(f"  model {key} [{dtype}]: pallas-vs-xla max|d| "
                   f"{d_pal:.3e} vs eps-control {d_ctl:.3e} -> "
-                  f"{'OK' if passed else 'FAIL'}", flush=True)
+                  f"{'OK' if passed else 'FAIL'}"
+                  f"{'' if sane else ' (control did not diverge: invalid '
+                     'measurement, likely tunnel memoization — rerun)'}",
+                  flush=True)
 
         def loss_fn(model, cfg=cfg):
             def f(params, bs):
@@ -178,8 +207,10 @@ def main():
                                   variables["batch_stats"])
         lp, gp = loss_fn(model_p)(variables["params"],
                                   variables["batch_stats"])
-        lc, gc = loss_fn(model_x)(variables_c["params"],
-                                  variables_c["batch_stats"])
+        ctls = []
+        for d in range(N_CONTROL_DRAWS):
+            v = perturbed(d)
+            ctls.append(loss_fn(model_x)(v["params"], v["batch_stats"]))
 
         def gnorm(g):
             return float(jnp.sqrt(sum((t.astype(jnp.float32) ** 2).sum()
@@ -189,22 +220,27 @@ def main():
             return g["backbone"]["resnet"]["stem"]["conv"]["kernel"]
 
         print(f"  [{dtype}] model loss xla={float(lx):.6f} "
-              f"pallas={float(lp):.6f} eps-control={float(lc):.6f} "
+              f"pallas={float(lp):.6f} eps-controls="
+              f"{[round(float(lc), 4) for lc, _ in ctls]} "
               f"gradnorm xla={gnorm(gx):.4f} pallas={gnorm(gp):.4f} "
-              f"control={gnorm(gc):.4f}", flush=True)
+              f"controls={[round(gnorm(gc), 2) for _, gc in ctls]}",
+              flush=True)
         for tag, d_pal, d_ctl, floor in (
             ("loss", abs(float(lp) - float(lx)),
-             abs(float(lc) - float(lx)), 1e-5 * abs(float(lx))),
+             max(abs(float(lc) - float(lx)) for lc, _ in ctls),
+             1e-5 * abs(float(lx))),
             ("gradnorm", abs(gnorm(gp) - gnorm(gx)),
-             abs(gnorm(gc) - gnorm(gx)), 1e-4 * gnorm(gx)),
+             max(abs(gnorm(gc) - gnorm(gx)) for _, gc in ctls),
+             1e-4 * gnorm(gx)),
             ("stem-kernel-grad", max_abs(stem_g(gp), stem_g(gx)),
-             max_abs(stem_g(gc), stem_g(gx)), 0.0),
+             max(max_abs(stem_g(gc), stem_g(gx)) for _, gc in ctls), 0.0),
         ):
-            passed = d_pal <= max(3.0 * d_ctl, floor)
+            sane = d_ctl > 0.0
+            passed = sane and d_pal <= max(3.0 * d_ctl, floor)
             ok &= passed
             print(f"  model {tag} [{dtype}]: pallas-vs-xla |d| "
-                  f"{d_pal:.3e} vs eps-control {d_ctl:.3e} -> "
-                  f"{'OK' if passed else 'FAIL'}", flush=True)
+                  f"{d_pal:.3e} vs eps-control(max/{N_CONTROL_DRAWS}) "
+                  f"{d_ctl:.3e} -> {'OK' if passed else 'FAIL'}", flush=True)
 
     # -- 4: stem-only fwd+bwd microbench ------------------------------------
     # SKIP_BENCH=1 runs the numeric checks only (timing is garbage while the
