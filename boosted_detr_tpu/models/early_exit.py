@@ -25,9 +25,16 @@ import jax.numpy as jnp
 def block_confidence(preds: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     """Per-image confidence: mean over predictions of the max class
     probability, counting only non-PAD/OOV classes for slots that predict an
-    object, and treating confident-PAD (no object) slots as confident."""
+    object, and treating confident-PAD (no object) slots as confident.
+
+    The max is normalized by the class-sum: for plain softmax outputs
+    (sum = 1) that is the max probability unchanged, and for the boosted
+    model's CUMULATIVE outputs (block k sums k softmaxes, so the class-sum
+    is ~k) it makes one threshold comparable across exit depths — without
+    the normalization every deep block trivially clears any threshold."""
     cat = preds["category"].astype(jnp.float32)  # [B, P, Vc]
-    slot_conf = jnp.max(cat, axis=-1)  # [B, P] (PAD counts: confident "none")
+    total = jnp.sum(cat, axis=-1)  # [B, P] (1 for softmax, ~k for boosted)
+    slot_conf = jnp.max(cat, axis=-1) / jnp.maximum(total, 1e-9)
     return jnp.mean(slot_conf, axis=-1)  # [B]
 
 
@@ -58,8 +65,14 @@ def make_incremental_predict(model, threshold: float):
 
     Returns predict(variables, image) -> (preds, blocks_run). Stages:
     encode once; then per decoder block a separate jitted step; stop as soon
-    as every image in the batch clears the threshold.
+    as every image in the batch clears the threshold. Dispatches on the
+    model family: the boosted ensemble stages per weak learner (its encoder
+    is per block), standard DETR stages per decoder block over one encode.
     """
+    from boosted_detr_tpu.models.boosted import BoostedDETR
+
+    if isinstance(model, BoostedDETR):
+        return _make_incremental_boosted(model, threshold)
 
     @jax.jit
     def encode(variables, image):
@@ -98,5 +111,61 @@ def make_incremental_predict(model, threshold: float):
             if bool((conf >= threshold).all()):
                 break
         return preds, blocks_run
+
+    return predict
+
+
+def _make_incremental_boosted(model, threshold: float):
+    """Boosted-ensemble staging: the weak learner (encoder_i + decoder_i +
+    heads_i) IS the exit unit (reference README.md:63-88 designs early exit
+    exactly for this ensemble); each stage adds its block's predictions to
+    the cumulative sums (boosted_model.py:222-229 semantics, fixed
+    double-count by default)."""
+
+    @jax.jit
+    def backbone_neck(variables, image):
+        def run(mdl, image):
+            return mdl.neck(mdl.backbone(image, train=False), train=False)
+
+        return model.apply(variables, image, method=run)
+
+    def make_block_step(i):
+        @jax.jit
+        def step(variables, grid, sums):
+            def run(mdl, grid, sums):
+                b, r, c, d = grid.shape
+                tokens, pos = mdl.encoders[i](grid, deterministic=True)
+                enc_value, dec, enc_key, _ = mdl.decoder_prep(tokens, pos)
+                dec = mdl.decoder_blocks[i](enc_value, dec, enc_key,
+                                            deterministic=True)
+                out = {"category": mdl.category_heads[i](dec, train=False),
+                       "attribute": mdl.attribute_heads[i](dec, train=False),
+                       "boxes": mdl.box_heads[i](dec, train=False)}
+                if sums is not None:
+                    out = {k: sums[k] + v for k, v in out.items()}
+                elif mdl.config.block0_double_count:
+                    out = {k: 2 * v for k, v in out.items()}
+                return tokens.reshape(b, r, c, d), out
+
+            return model.apply(variables, grid, sums, method=run)
+
+        return step
+
+    steps = [make_block_step(i)
+             for i in range(model.config.num_decoder_blocks)]
+
+    def predict(variables, image):
+        import numpy as np
+
+        grid = backbone_neck(variables, image)
+        sums = None
+        blocks_run = 0
+        for step in steps:
+            grid, sums = step(variables, grid, sums)
+            blocks_run += 1
+            conf = np.asarray(block_confidence(sums))
+            if bool((conf >= threshold).all()):
+                break
+        return sums, blocks_run
 
     return predict

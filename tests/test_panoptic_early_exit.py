@@ -298,3 +298,50 @@ def test_panoptic_early_exit_predict():
                  early_exit_threshold=1.1)
     assert (preds["exit_block"] == 2).all()
     assert preds["masks"].shape[:2] == (4, 6)
+
+
+def test_block_confidence_scale_invariant(rng):
+    """Boosted cumulative outputs sum k softmaxes (class-sum ~k): the
+    confidence must be identical whether the distribution is normalized or
+    scaled — otherwise a single threshold is meaningless across depths."""
+    cat = np.abs(rng.normal(size=(2, 4, 5)).astype(np.float32)) + 0.1
+    cat /= cat.sum(-1, keepdims=True)
+    c1 = early_exit.block_confidence({"category": jnp.asarray(cat)})
+    c3 = early_exit.block_confidence({"category": jnp.asarray(3.0 * cat)})
+    assert np.allclose(np.asarray(c1), np.asarray(c3), atol=1e-6)
+
+
+def test_incremental_boosted_matches_full_forward(rng):
+    from boosted_detr_tpu.models.boosted import BoostedDETR
+
+    model = BoostedDETR(TINY)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    # impossible threshold -> all weak learners run -> equals plain forward
+    predict = early_exit.make_incremental_predict(model, threshold=1.1)
+    preds, blocks_run = predict(variables, img)
+    assert blocks_run == TINY.num_decoder_blocks
+    full = model.apply(variables, img)
+    for key in ("boxes", "category", "attribute"):
+        assert np.allclose(np.asarray(preds[key]), np.asarray(full[key]),
+                           atol=1e-5), key
+    # threshold 0 -> stop after weak learner 0
+    predict0 = early_exit.make_incremental_predict(model, threshold=0.0)
+    _, blocks_run0 = predict0(variables, img)
+    assert blocks_run0 == 1
+
+
+def test_adaptive_select_on_boosted_cumulative_outputs(rng):
+    """adaptive_select over boosted cumulative sums: thresholds stay
+    meaningful because block_confidence normalizes by the class-sum."""
+    from boosted_detr_tpu.models.boosted import BoostedDETR
+
+    model = BoostedDETR(TINY)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    outs = model.apply(variables, img, return_intermediate=True)
+    # at init every block is maximally UNconfident -> nothing clears 0.9
+    preds, exit_block = early_exit.adaptive_select(outs, threshold=0.9)
+    assert (np.asarray(exit_block) == TINY.num_decoder_blocks - 1).all()
+    assert np.allclose(np.asarray(preds["boxes"]),
+                       np.asarray(outs[-1]["boxes"]), atol=1e-6)
