@@ -38,8 +38,12 @@ def main():
     from boosted_detr_tpu.models.detr import DETR
     from boosted_detr_tpu.train import steps
 
-    batch_size = 8
-    cfg = ModelConfig(image_size=(640, 640),
+    batch_size = int(os.environ.get("BENCH_BATCH", "8"))
+    # BENCH_RES=1280 benches the high-resolution config (40x40 = 1600
+    # encoder tokens — the regime where the fused attention kernels win;
+    # enable them with BENCH_PATTN=1)
+    res = int(os.environ.get("BENCH_RES", "640"))
+    cfg = ModelConfig(image_size=(res, res),
                       # BENCH_BACKBONE=vit_p32 benches the ViT speed tier
                       backbone=os.environ.get("BENCH_BACKBONE", "resnet"),
                       compute_dtype="bfloat16", max_objects=32,
@@ -57,18 +61,27 @@ def main():
                       # ops/pallas_patchify.py) — off by default until the
                       # on-hardware numeric check + bench gain land
                       use_pallas_stem=bool(int(
-                          os.environ.get("BENCH_PSTEM", "0"))))
+                          os.environ.get("BENCH_PSTEM", "0"))),
+                      # BENCH_PATTN=1: fused flash attention fwd+bwd kernels
+                      # in the DETR encoder/decoder (win at >=1600 tokens)
+                      use_pallas_attention=bool(int(
+                          os.environ.get("BENCH_PATTN", "0"))))
     # BENCH_MODEL=boosted benches the boosted ensemble (per-block losses
     # folded into one lane-batched matcher solve, train/steps.py)
     bench_model = os.environ.get("BENCH_MODEL", "detr")
+    # BENCH_FBN=1 benches the frozen-BN-stats tier (running-average
+    # normalization, no batch-stat reduction passes; the post-warmup
+    # training phase of the 'flagship_fbn' val-suite variant)
+    fbn = bool(int(os.environ.get("BENCH_FBN", "0")))
     if bench_model == "boosted":
         from boosted_detr_tpu.models.boosted import BoostedDETR
 
         tcfg = TrainConfig(batch_size=batch_size,
-                           use_intermediate_losses=True)
+                           use_intermediate_losses=True,
+                           freeze_bn_stats=fbn)
         model = BoostedDETR(cfg)
     else:
-        tcfg = TrainConfig(batch_size=batch_size)
+        tcfg = TrainConfig(batch_size=batch_size, freeze_bn_stats=fbn)
         model = DETR(cfg)
 
     h, w = cfg.image_size
@@ -153,11 +166,11 @@ def main():
     infer_ips = batch_size / infer_step
 
     print(json.dumps({
-        "metric": "train_images_per_sec_per_chip_640px",
+        "metric": f"train_images_per_sec_per_chip_{res}px",
         "value": round(train_ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(train_ips / TF_COLAB_GPU_IMAGES_PER_SEC, 2),
-        "inference_images_per_sec_per_chip_640px": round(infer_ips, 2),
+        f"inference_images_per_sec_per_chip_{res}px": round(infer_ips, 2),
         "train_step_ms": round(step_time * 1000, 2),
         "final_loss": float(losses[-1]),
         "batch_size": batch_size,

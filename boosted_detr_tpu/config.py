@@ -159,6 +159,13 @@ class TrainConfig:
     # block (backbone + other blocks frozen), or None = train everything
     # (reference Boosted_DETR_COCO.ipynb cell 30).
     train_block: Optional[int] = None
+    # Freeze BatchNorm statistics: the train step runs normalization with
+    # the RUNNING averages (no batch-stat reduction passes — the 80px
+    # activation traffic the roofline identifies, benchmarks/RESULTS.md)
+    # and batch_stats stay untouched, while params keep training. Intended
+    # as a post-warmup phase in the dropout-0 protocol (train=False forward:
+    # dropout is disabled too); see train_val_suite.py 'flagship_fbn'.
+    freeze_bn_stats: bool = False
     # Loss on intermediate decoder blocks (reference model.py:179 hard-codes
     # False for standard DETR; boosted always uses per-block losses).
     use_intermediate_losses: bool = False

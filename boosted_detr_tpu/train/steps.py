@@ -275,10 +275,22 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig
                                        model.config.num_decoder_blocks - 1))
 
     def loss_fn(params, batch_stats, batch, dropout_rng):
-        outs, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch["image"], train=True, return_intermediate=intermediate,
-            mutable=["batch_stats"], rngs={"dropout": dropout_rng})
+        if train_cfg.freeze_bn_stats:
+            # frozen-BN phase: normalize with the running averages and skip
+            # the batch-stat reduction passes entirely (the 80px-activation
+            # HBM traffic identified by benchmarks/roofline.py); params
+            # still train. train=False also disables dropout — this mode is
+            # for the dropout-0 protocol.
+            outs = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["image"], train=False,
+                return_intermediate=intermediate)
+            mutated = {"batch_stats": batch_stats}
+        else:
+            outs, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["image"], train=True, return_intermediate=intermediate,
+                mutable=["batch_stats"], rngs={"dropout": dropout_rng})
         preds_list = outs if intermediate else [outs]
         if loss_block is not None:
             # only the focused block's cumulative loss contributes; with a

@@ -72,6 +72,13 @@ VARIANTS = {
     # val mAP in family with flagship confirms quality-neutrality on-chip)
     "flagship_pstem": ("detr", dict(backbone="resnet", stem="patchify8",
                                     use_pallas_stem=True)),
+    # frozen-BN speed tier (VERDICT r3 #7 fallback): 2k-step warmup with
+    # live BatchNorm stats, then the rest of the budget with stats FROZEN
+    # (TrainConfig.freeze_bn_stats) — removes the 80px stat-reduction
+    # passes the roofline identifies while keeping BN semantics, unlike
+    # skipinit which replaces normalization entirely
+    "flagship_fbn": ("detr", dict(backbone="resnet", stem="patchify8",
+                                  _fbn=2000)),
     "conv7": ("detr", dict(backbone="resnet", stem="conv7")),
     "patchify": ("detr", dict(backbone="resnet", stem="patchify")),
     "vit_p32": ("detr", dict(backbone="vit_p32",
@@ -108,6 +115,7 @@ def run_variant(name, args):
     agc_clip = overrides.pop("_agc", 0.0)
     clipnorm = overrides.pop("_clipnorm", 0.0)
     ema_decay = overrides.pop("_ema", 0.0)
+    fbn_warm = overrides.pop("_fbn", 0)
     size = 64 if args.cpu else 640
     if args.cpu:
         overrides = dict(overrides)
@@ -323,6 +331,29 @@ def run_variant(name, args):
         parts.append(np.asarray([np.nan], np.float32))
         print(f"[{name}] loaded params from {args.load_params}; eval-only",
               flush=True)
+    elif fbn_warm:
+        # frozen-BN tier: live-stats warmup, then stats frozen for the rest
+        # of phase 1 and all of phase 2 (same lr schedule as the protocol)
+        schedule = [(tcfg0, min(fbn_warm, args.steps)),
+                    (tcfg0.replace(freeze_bn_stats=True),
+                     max(0, args.steps - fbn_warm)),
+                    (tcfg0.replace(freeze_bn_stats=True,
+                                   learning_rate=args.lr2), args.steps2)]
+        first = True
+        for tcfg_p, n_steps in schedule:
+            if not n_steps:
+                continue
+            train_step = steps.make_train_step(model, cfg, tcfg_p)
+            run = make_run(train_step)
+            if not first:
+                state = steps.TrainState.create(
+                    state.params, state.batch_stats,
+                    steps.make_optimizer(tcfg_p, d_model=cfg.decoder_dim)
+                ).replace(ema_params=state.ema_params)
+            first = False
+            print(f"[{name}] phase freeze_bn={tcfg_p.freeze_bn_stats} "
+                  f"lr={tcfg_p.learning_rate} ({n_steps} steps)", flush=True)
+            state = run_phase(state, n_steps)
     elif family == "boosted_staged":
         # reference stage recipe under the SAME total budget as every other
         # row: joint warmup (the backbone must learn first — the reference
@@ -357,7 +388,7 @@ def run_variant(name, args):
     else:
         state = run_phase(state, args.steps)
     if (not args.load_params and args.lr2 and args.steps2
-            and family != "boosted_staged"):
+            and family != "boosted_staged" and not fbn_warm):
         tcfg2 = tcfg0.replace(learning_rate=args.lr2)
         if family == "panoptic":
             train_step = make_step(tcfg2)

@@ -166,3 +166,52 @@ def test_filepaths_parity():
     params = fp.default_params()
     assert params["dataset_name"] == "Fashionpedia"
     assert fp.default_params("checkpoint_save_dir") == "/tmp/checkpoints"
+
+
+def test_freeze_bn_stats_trains_params_without_touching_stats():
+    """TrainConfig.freeze_bn_stats: the frozen-BN speed tier must keep
+    batch_stats BIT-identical while params still update (the train step
+    normalizes with running averages and skips the stat reduction)."""
+    import numpy as np
+
+    from boosted_detr_tpu.config import ModelConfig, TrainConfig
+    from boosted_detr_tpu.models.detr import DETR
+    from boosted_detr_tpu.train import steps as steps_lib
+
+    cfg = ModelConfig(
+        num_object_preds=6, image_size=(32, 32), num_encoder_blocks=1,
+        num_encoder_heads=2, encoder_dim=16, num_decoder_blocks=1,
+        num_decoder_heads=2, decoder_dim=16, num_categories=5,
+        num_attributes=4, backbone="tiny", backbone_width=0.25,
+        compute_dtype="float32", max_objects=3, dropout_rate=0.0,
+        matcher="hungarian")
+    model = DETR(cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)), jnp.float32),
+        "category_ids": jnp.asarray(rng.integers(2, 5, (2, 3)), jnp.int32),
+        "attribute_ids": jnp.asarray(rng.integers(0, 4, (2, 3, 2)),
+                                     jnp.int32),
+        "bbox": jnp.asarray(rng.uniform(0.1, 0.4, (2, 3, 4)), jnp.float32),
+        "num_objects": jnp.asarray([2, 1], jnp.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["image"])
+    tcfg = TrainConfig(optimizer="adamw", learning_rate=1e-3,
+                       lr_schedule="constant", clipnorm=0.0,
+                       freeze_bn_stats=True)
+    state = steps_lib.TrainState.create(
+        variables["params"], variables["batch_stats"],
+        steps_lib.make_optimizer(tcfg, d_model=cfg.decoder_dim))
+    step = jax.jit(steps_lib.make_train_step(model, cfg, tcfg))
+    new_state, aux = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(aux["loss"]))
+    # stats bit-identical
+    for a, b in zip(jax.tree.leaves(state.batch_stats),
+                    jax.tree.leaves(new_state.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # params moved
+    moved = any(
+        float(jnp.abs(a - b).max()) > 0
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(new_state.params)))
+    assert moved
