@@ -56,12 +56,16 @@ def main():
                       stem=os.environ.get("BENCH_STEM", "patchify8"),
                       # BENCH_NORM=skipinit benches the norm-free variant
                       norm=os.environ.get("BENCH_NORM", "batchnorm"),
-                      # BENCH_PSTEM=1 enables the fused Pallas stem kernel
-                      # (clip+preprocess+s2d+matmul in one HBM pass,
-                      # ops/pallas_patchify.py) — off by default until the
-                      # on-hardware numeric check + bench gain land
+                      # Fused Pallas stem kernel ON by default (round 4):
+                      # clip+preprocess+s2d+matmul in one HBM pass
+                      # (ops/pallas_patchify.py). Landed on evidence: all
+                      # 30 on-chip parity gates PASS (f32+bf16), isolated
+                      # stem fwd+dW 2.93x XLA, and the flagship_pstem
+                      # val-suite row is quality-neutral (val mAP50 0.244
+                      # vs 0.252 flagship, within run noise) —
+                      # benchmarks/RESULTS.md. BENCH_PSTEM=0 disables.
                       use_pallas_stem=bool(int(
-                          os.environ.get("BENCH_PSTEM", "0"))),
+                          os.environ.get("BENCH_PSTEM", "1"))),
                       # BENCH_PATTN=1: fused flash attention fwd+bwd kernels
                       # in the DETR encoder/decoder (win at >=1600 tokens)
                       use_pallas_attention=bool(int(

@@ -99,10 +99,13 @@ class ModelConfig:
     # auction / greedy (approximate) | hungarian_host (scipy; CPU only)
     matcher: str = "hungarian"
     use_pallas_attention: bool = False
-    # fused Pallas patchify-stem kernel (ResNet patchify/patchify8 stems):
-    # clip + preprocessing + space-to-depth + matmul in ONE HBM pass —
-    # replaces the convert/relayout/3-channel-conv cluster the profiler
-    # attributes ~2.5 ms of the 16 ms 640px train step to
+    # fused Pallas patchify-stem kernel (ResNet patchify/patchify8 stems +
+    # ViT patch embed): clip + preprocessing + space-to-depth + matmul in
+    # ONE HBM pass — replaces the convert/relayout/3-channel-conv cluster
+    # (isolated stem fwd+dW 2.93x XLA; quality-neutral at protocol scale
+    # and parity-gated on-chip, benchmarks/RESULTS.md round 4). ON in the
+    # TPU bench flagship; the global default stays False because off-TPU
+    # the kernel runs in the (slow) Pallas interpreter.
     use_pallas_stem: bool = False
     # batchnorm | groupnorm (parity flag, SURVEY §7) | skipinit (norm-free:
     # weight-standardized convs + zero-init residual gains — no activation
