@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--backbone", default="resnet")
     ap.add_argument("--stem", default="patchify8")
     ap.add_argument("--use-pallas-stem", type=int, default=0)
+    ap.add_argument("--use-pallas-attention", type=int, default=0,
+                    help="fused flash attention kernels (win >=1600 tokens; "
+                    "the --image-size 1280 hi-res rider config)")
     ap.add_argument("--save-every", type=int, default=10000,
                     help="pickle params every N steps (crash resume)")
     ap.add_argument("--save-params", default="/tmp/scaling_%p.pkl")
@@ -97,7 +100,8 @@ def main():
         num_categories=codec.vocab_size_dict()["category"],
         num_attributes=codec.vocab_size_dict()["attributes"],
         dropout_rate=0.0, backbone=args.backbone, stem=args.stem,
-        use_pallas_stem=bool(args.use_pallas_stem))
+        use_pallas_stem=bool(args.use_pallas_stem),
+        use_pallas_attention=bool(args.use_pallas_attention))
     if args.cpu:
         cfg = cfg.replace(backbone="tiny", backbone_width=0.5,
                           num_encoder_blocks=2, num_decoder_blocks=2,
