@@ -22,10 +22,21 @@ import jax
 import jax.numpy as jnp
 
 
-def block_confidence(preds: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    """Per-image confidence: mean over predictions of the max class
-    probability, counting only non-PAD/OOV classes for slots that predict an
-    object, and treating confident-PAD (no object) slots as confident.
+def block_confidence(preds: Dict[str, jnp.ndarray],
+                     pad_id: int = 0) -> jnp.ndarray:
+    """Per-image confidence: object-ness-weighted mean of the per-slot max
+    class probability. Each slot contributes with weight ``1 - p_PAD`` (its
+    probability of being an object), so a slot that confidently predicts
+    no-object vanishes from the mean, while an UNDECIDED slot (PAD barely
+    winning) still drags confidence down. An image whose every slot is
+    certain-PAD is maximally confident — there is nothing left to refine.
+
+    Down-weighting confident-PAD slots matters: a trained DETR assigns ~90
+    of 96 slots to no-object at >0.99 probability from the very first
+    block, so an unweighted mean over ALL slots is ~1 regardless of how
+    unsettled the actual detections are — measured on the round-4 sweep,
+    every image exited at block 0 for every threshold up to 0.95
+    (benchmarks/RESULTS.md).
 
     The max is normalized by the class-sum: for plain softmax outputs
     (sum = 1) that is the max probability unchanged, and for the boosted
@@ -33,9 +44,13 @@ def block_confidence(preds: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     is ~k) it makes one threshold comparable across exit depths — without
     the normalization every deep block trivially clears any threshold."""
     cat = preds["category"].astype(jnp.float32)  # [B, P, Vc]
-    total = jnp.sum(cat, axis=-1)  # [B, P] (1 for softmax, ~k for boosted)
-    slot_conf = jnp.max(cat, axis=-1) / jnp.maximum(total, 1e-9)
-    return jnp.mean(slot_conf, axis=-1)  # [B]
+    total = jnp.sum(cat, axis=-1, keepdims=True)  # 1 softmax / ~k boosted
+    probs = cat / jnp.maximum(total, 1e-9)
+    maxp = jnp.max(probs, axis=-1)  # [B, P]
+    obj_w = 1.0 - probs[..., pad_id]  # [B, P] P(slot is an object)
+    w_sum = jnp.sum(obj_w, axis=-1)  # [B]
+    conf = jnp.sum(obj_w * maxp, axis=-1) / jnp.maximum(w_sum, 1e-6)
+    return jnp.where(w_sum > 1e-3, conf, jnp.ones_like(conf))
 
 
 def adaptive_select(outputs: List[Dict[str, jnp.ndarray]],

@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--image-size", type=int, default=640)
     ap.add_argument("--backbone", default="resnet")
     ap.add_argument("--stem", default="patchify8")
+    ap.add_argument("--model", default="detr", choices=["detr", "boosted"],
+                    help="boosted = the block ensemble with summed "
+                    "intermediate losses (the val-suite boosted recipe); "
+                    "its scaled checkpoint feeds early_exit_sweep.py")
     ap.add_argument("--use-pallas-stem", type=int, default=0)
     ap.add_argument("--use-pallas-attention", type=int, default=0,
                     help="fused flash attention kernels (win >=1600 tokens; "
@@ -85,6 +89,8 @@ def main():
     steps2 = args.steps2 or args.steps // 4
     pool = args.pool or None
     tag = f"pool{args.pool}_s{args.steps + steps2}"
+    if args.model != "detr":
+        tag = f"{args.model}_{tag}"
     save_path = args.save_params.replace("%p", tag)
 
     # Locked-protocol val split: HOST-rendered (num_images only affects the
@@ -114,10 +120,16 @@ def main():
         num_slots=cfg.max_objects, max_objects=5, min_objects=1,
         size_range=(0.1, 0.6), pool_size=pool, seed=0)
 
-    model = DETR(cfg)
+    if args.model == "boosted":
+        from boosted_detr_tpu.models.boosted import BoostedDETR
+
+        model = BoostedDETR(cfg)
+    else:
+        model = DETR(cfg)
     tcfg0 = TrainConfig(optimizer="adamw", learning_rate=args.lr,
                         lr_schedule="constant", clipnorm=0.0,
-                        ema_decay=args.ema, batch_size=args.batch_size)
+                        ema_decay=args.ema, batch_size=args.batch_size,
+                        use_intermediate_losses=args.model == "boosted")
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.zeros((args.batch_size, size, size, 3), jnp.float32))

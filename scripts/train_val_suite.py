@@ -79,6 +79,14 @@ VARIANTS = {
     # skipinit which replaces normalization entirely
     "flagship_fbn": ("detr", dict(backbone="resnet", stem="patchify8",
                                   _fbn=2000)),
+    # same tier, freeze at HALF the budget: the 2k-step freeze collapsed
+    # (loss 24 -> ~800 at the transition, never recovered — running averages
+    # early in training are far from the batch statistics the params were
+    # just trained against, and the mis-normalized deep resnet never
+    # relearns); by 15k the stats have tracked a near-stationary network,
+    # the same reason end-of-run eval with running stats works
+    "flagship_fbn15": ("detr", dict(backbone="resnet", stem="patchify8",
+                                    _fbn=15000)),
     "conv7": ("detr", dict(backbone="resnet", stem="conv7")),
     "patchify": ("detr", dict(backbone="resnet", stem="patchify")),
     "vit_p32": ("detr", dict(backbone="vit_p32",
