@@ -114,25 +114,49 @@ def scene_labels(scene, max_attribute_words: int = 8):
     return cat, att, bbox.astype(jnp.float32), scene["n"].astype(jnp.int32)
 
 
+def scene_masks(scene, mask_size: int):
+    """Per-slot filled-box mask targets [num_slots, S, S] float32, matching
+    the host pipeline's no-segmentation fallback bit-for-bit
+    (data/masks.py::box_to_mask: pixel-center test (c+0.5)/S in [lo, lo+ext));
+    inactive slots are all-zero. SyntheticShapes has no segmentation column,
+    so box fill IS the host panoptic target for this dataset."""
+    s = mask_size
+    centers = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    x, y, w, h = scene["x"], scene["y"], scene["w"], scene["h"]
+    in_y = ((centers[None, :] >= y[:, None])
+            & (centers[None, :] < (y + h)[:, None]))  # [O, S]
+    in_x = ((centers[None, :] >= x[:, None])
+            & (centers[None, :] < (x + w)[:, None]))  # [O, S]
+    m = in_y[:, :, None] & in_x[:, None, :] & scene["active"][:, None, None]
+    return m.astype(jnp.float32)
+
+
 def render_image(key, image_size: int, max_objects: int, min_objects: int,
                  size_range: Tuple[float, float], num_slots: int,
-                 max_attribute_words: int = 8) -> Dict[str, jnp.ndarray]:
+                 max_attribute_words: int = 8,
+                 mask_size: Optional[int] = None) -> Dict[str, jnp.ndarray]:
     """One image + labels from one key (the pure function behind a
-    'dataset': image i = render_image(fold_in(root, i), ...))."""
+    'dataset': image i = render_image(fold_in(root, i), ...)).
+    ``mask_size`` set -> the output carries 'masks' [num_slots, S, S]
+    panoptic targets (the panoptic scaling-curve path)."""
     k_scene, k_bg = jax.random.split(key)
     scene = sample_scene(k_scene, max_objects, min_objects, size_range,
                          num_slots)
     image = rasterize(k_bg, scene, image_size)
     cat, att, bbox, n = scene_labels(scene, max_attribute_words)
-    return {"image": image, "category_ids": cat, "attribute_ids": att,
-            "bbox": bbox, "num_objects": n}
+    out = {"image": image, "category_ids": cat, "attribute_ids": att,
+           "bbox": bbox, "num_objects": n}
+    if mask_size:
+        out["masks"] = scene_masks(scene, mask_size)
+    return out
 
 
 def make_batch_fn(image_size: int, batch_size: int, num_slots: int,
                   max_objects: int = 5, min_objects: int = 1,
                   size_range: Tuple[float, float] = (0.1, 0.6),
                   pool_size: Optional[int] = None, seed: int = 0,
-                  max_attribute_words: int = 8):
+                  max_attribute_words: int = 8,
+                  mask_size: Optional[int] = None):
     """Build ``batch_fn(step) -> batch`` for use INSIDE a compiled scan body.
 
     ``pool_size=N`` emulates a fixed dataset of N distinct images (image
@@ -154,6 +178,6 @@ def make_batch_fn(image_size: int, batch_size: int, num_slots: int,
         keys = jax.vmap(lambda i: jax.random.fold_in(data_root, i))(idx)
         return jax.vmap(lambda k: render_image(
             k, image_size, max_objects, min_objects, size_range, num_slots,
-            max_attribute_words))(keys)
+            max_attribute_words, mask_size))(keys)
 
     return batch_fn

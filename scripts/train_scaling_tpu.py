@@ -51,10 +51,16 @@ def main():
     ap.add_argument("--image-size", type=int, default=640)
     ap.add_argument("--backbone", default="resnet")
     ap.add_argument("--stem", default="patchify8")
-    ap.add_argument("--model", default="detr", choices=["detr", "boosted"],
+    ap.add_argument("--model", default="detr",
+                    choices=["detr", "boosted", "panoptic"],
                     help="boosted = the block ensemble with summed "
                     "intermediate losses (the val-suite boosted recipe); "
-                    "its scaled checkpoint feeds early_exit_sweep.py")
+                    "its scaled checkpoint feeds early_exit_sweep.py. "
+                    "panoptic = DETRPanoptic with device-rendered filled-box "
+                    "mask targets (device_synth mask_size) + matched mask "
+                    "loss, scored on detection mAP like every other point")
+    ap.add_argument("--mask-size", type=int, default=48,
+                    help="panoptic mask target resolution (val-suite value)")
     ap.add_argument("--use-pallas-stem", type=int, default=0)
     ap.add_argument("--use-pallas-attention", type=int, default=0,
                     help="fused flash attention kernels (win >=1600 tokens; "
@@ -91,6 +97,8 @@ def main():
     tag = f"pool{args.pool}_s{args.steps + steps2}"
     if args.model != "detr":
         tag = f"{args.model}_{tag}"
+    if args.image_size != 640:
+        tag = f"{tag}_r{args.image_size}"
     save_path = args.save_params.replace("%p", tag)
 
     # Locked-protocol val split: HOST-rendered (num_images only affects the
@@ -115,15 +123,20 @@ def main():
                           num_encoder_heads=4, num_decoder_heads=4,
                           num_object_preds=16)
 
+    mask_size = args.mask_size if args.model == "panoptic" else None
     batch_fn = device_synth.make_batch_fn(
         image_size=size, batch_size=args.batch_size,
         num_slots=cfg.max_objects, max_objects=5, min_objects=1,
-        size_range=(0.1, 0.6), pool_size=pool, seed=0)
+        size_range=(0.1, 0.6), pool_size=pool, seed=0, mask_size=mask_size)
 
     if args.model == "boosted":
         from boosted_detr_tpu.models.boosted import BoostedDETR
 
         model = BoostedDETR(cfg)
+    elif args.model == "panoptic":
+        from boosted_detr_tpu.models.panoptic import DETRPanoptic
+
+        model = DETRPanoptic(cfg, mask_size=mask_size)
     else:
         model = DETR(cfg)
     tcfg0 = TrainConfig(optimizer="adamw", learning_rate=args.lr,
@@ -161,9 +174,16 @@ def main():
                 keys = jax.random.split(
                     jax.random.fold_in(jax.random.PRNGKey(7), step),
                     args.batch_size)
-                batch["image"], batch["bbox"] = jax.vmap(
-                    augment_lib.random_downsize_shift_pad)(
-                        keys, batch["image"], batch["bbox"])
+                if mask_size:
+                    (batch["image"], batch["bbox"],
+                     batch["masks"]) = jax.vmap(
+                        augment_lib.random_downsize_shift_pad)(
+                            keys, batch["image"], batch["bbox"],
+                            batch["masks"])
+                else:
+                    batch["image"], batch["bbox"] = jax.vmap(
+                        augment_lib.random_downsize_shift_pad)(
+                            keys, batch["image"], batch["bbox"])
                 st, aux = train_step(st, batch, jax.random.fold_in(
                     jax.random.PRNGKey(0), step))
                 return (st, aux["loss"]), aux["loss"]
@@ -192,7 +212,13 @@ def main():
         if total >= phase_end:
             continue
         tcfg = tcfg0.replace(learning_rate=lr)
-        train_step = steps.make_train_step(model, cfg, tcfg)
+        if args.model == "panoptic":
+            from boosted_detr_tpu.models.panoptic import \
+                make_panoptic_train_step
+
+            train_step = make_panoptic_train_step(model, tcfg)
+        else:
+            train_step = steps.make_train_step(model, cfg, tcfg)
         run = make_run(train_step)
         if total > start_step or lr != args.lr:
             # fresh optimizer state at the phase boundary (val-suite recipe)

@@ -121,3 +121,42 @@ def test_object_stats_match_host_distribution():
     xy = bbox[..., :2][active]
     wh = bbox[..., 2:][active]
     assert (xy >= -1e-6).all() and (xy + wh <= 1 + 1e-5).all()
+
+
+def test_scene_masks_match_host_box_to_mask():
+    """Device filled-box mask targets == data/masks.py::box_to_mask (the
+    host pipeline's no-segmentation fallback — SyntheticShapes' actual
+    panoptic target) for every active slot; inactive slots all-zero."""
+    from boosted_detr_tpu.data import masks as masks_lib
+
+    for seed in range(3):
+        scene = device_synth.sample_scene(
+            jax.random.PRNGKey(seed), max_objects=5, min_objects=1,
+            size_range=(0.1, 0.6), num_slots=8)
+        dev = np.asarray(device_synth.scene_masks(scene, mask_size=48))
+        sc = {k: np.asarray(v) for k, v in scene.items()}
+        n = int(sc["n"])
+        for j in range(8):
+            if j < n:
+                host = masks_lib.box_to_mask(
+                    [sc["x"][j], sc["y"][j], sc["w"][j], sc["h"][j]], 48)
+                np.testing.assert_array_equal(dev[j], host)
+            else:
+                assert not dev[j].any()
+
+
+def test_batch_fn_mask_size_key():
+    fn = device_synth.make_batch_fn(image_size=32, batch_size=2, num_slots=4,
+                                    pool_size=16, mask_size=24)
+    batch = jax.jit(fn)(jnp.int32(0))
+    assert batch["masks"].shape == (2, 4, 24, 24)
+    assert batch["masks"].dtype == jnp.float32
+    # masks agree with the bbox geometry: mask area ~= w*h for active slots
+    bbox = np.asarray(batch["bbox"])
+    m = np.asarray(batch["masks"])
+    for b in range(2):
+        for j in range(4):
+            if bbox[b, j, 0] > -5:  # not BOX_PAD_VALUE
+                area = m[b, j].mean()
+                w, h = bbox[b, j, 2], bbox[b, j, 3]
+                assert abs(area - w * h) < 0.1

@@ -345,3 +345,32 @@ def test_adaptive_select_on_boosted_cumulative_outputs(rng):
     assert (np.asarray(exit_block) == TINY.num_decoder_blocks - 1).all()
     assert np.allclose(np.asarray(preds["boxes"]),
                        np.asarray(outs[-1]["boxes"]), atol=1e-6)
+
+
+def test_block_confidence_object_weighting():
+    """The round-4 sweep fix (benchmarks/RESULTS.md): ~90 confident-PAD
+    slots must NOT saturate the mean — confidence tracks the OBJECT slots;
+    undecided slots (PAD barely winning) drag it down; an all-certain-PAD
+    image is maximally confident (nothing left to refine)."""
+    def cat(slots):  # rows of per-slot class probs [Vc=4], PAD=0
+        return {"category": jnp.asarray(np.asarray([slots], np.float32))}
+
+    pad_sure = [0.99, 0.005, 0.0025, 0.0025]
+    obj_half = [0.02, 0.50, 0.28, 0.20]   # object, undecided (max 0.5)
+    obj_sure = [0.01, 0.97, 0.01, 0.01]   # object, confident (max 0.97)
+
+    # 9 confident-PAD slots + 1 undecided object: unweighted mean would be
+    # ~0.94 (saturated); the weighted confidence must sit near the object
+    # slot's 0.5, not near 1.
+    c_undecided = float(early_exit.block_confidence(
+        cat([pad_sure] * 9 + [obj_half]))[0])
+    assert c_undecided < 0.6
+    # same scene but the object slot is confident -> high confidence
+    c_decided = float(early_exit.block_confidence(
+        cat([pad_sure] * 9 + [obj_sure]))[0])
+    assert c_decided > 0.9
+    assert c_decided > c_undecided + 0.3
+    # every slot certain-PAD -> maximally confident (exit immediately)
+    c_empty = float(early_exit.block_confidence(
+        cat([[0.9999, 0.00003, 0.00003, 0.00004]] * 10))[0])
+    assert c_empty == 1.0
