@@ -220,8 +220,10 @@ def cmd_export(args) -> int:
     serving.export_serving(model.trainer, args.out,
                            platforms=tuple(args.platforms.split(",")),
                            early_exit=args.early_exit,
+                           exit_criterion=args.exit_criterion,
                            use_ema=args.use_ema)
-    kind = "early-exit (runtime threshold)" if args.early_exit else "standard"
+    kind = (f"early-exit ({args.exit_criterion}, runtime threshold)"
+            if args.early_exit else "standard")
     print(f"exported {kind} serving artifact to {args.out}")
     return 0
 
@@ -298,7 +300,12 @@ def main(argv=None) -> int:
                    help="bake the EMA shadow weights into the artifact")
     x.add_argument("--early-exit", action="store_true",
                    help="export the adaptive-depth graph (artifact takes a "
-                        "runtime confidence threshold)")
+                        "runtime threshold)")
+    x.add_argument("--exit-criterion", default="confidence",
+                   choices=["confidence", "stability"],
+                   help="early-exit rule: confidence floor, or PABEE-style "
+                        "inter-block stability (the one that works on the "
+                        "boosted ensemble's cumulative outputs)")
     x.set_defaults(fn=cmd_export)
 
     b = sub.add_parser("benchmark")

@@ -39,12 +39,17 @@ import numpy as np
 def export_serving(trainer, path: str,
                    platforms: tuple = ("cpu", "tpu"),
                    early_exit: bool = False,
+                   exit_criterion: str = "confidence",
                    use_ema: bool = False) -> str:
     """Serialize ``trainer``'s inference function + current weights.
 
     ``early_exit=True`` exports the adaptive-select graph instead: the
     artifact takes ``(images, threshold)`` and returns per-image earliest
-    confident block predictions plus ``exit_block`` [B].
+    exiting block predictions plus ``exit_block`` [B]. ``exit_criterion``
+    picks the exit rule baked into the graph: ``"confidence"`` (threshold =
+    min confidence) or ``"stability"`` (threshold = max inter-block
+    prediction delta; the criterion that actually orders the boosted
+    ensemble's cumulative outputs — see models/early_exit.py).
 
     ``use_ema=True`` bakes the EMA shadow weights (TrainConfig.ema_decay)
     into the artifact instead of the live params — the standard way to
@@ -72,11 +77,17 @@ def export_serving(trainer, path: str,
     if early_exit:
         from boosted_detr_tpu.models import early_exit as early_exit_lib
 
+        if exit_criterion not in ("confidence", "stability"):
+            raise ValueError(
+                f"unknown exit_criterion: {exit_criterion!r}")
+        select = (early_exit_lib.stability_select
+                  if exit_criterion == "stability"
+                  else early_exit_lib.adaptive_select)
+
         def infer(image, threshold):
             outs = model.apply(variables, image, train=False,
                                return_intermediate=True)
-            preds, exit_block = early_exit_lib.adaptive_select(outs,
-                                                               threshold)
+            preds, exit_block = select(outs, threshold)
             preds["exit_block"] = exit_block
             return preds
 
@@ -97,6 +108,7 @@ def export_serving(trainer, path: str,
                        if trainer.codec is not None else None),
         "model_class": type(model).__name__,
         "early_exit": bool(early_exit),
+        "exit_criterion": exit_criterion if early_exit else None,
         "ema_weights": bool(use_ema),
         "outputs": "dict(category softmax, attribute sigmoid, boxes COCO"
                    " [x,y,w,h]; masks logits when panoptic; exit_block when"
@@ -129,12 +141,17 @@ class ServingModel:
         """Serve a batch. Decode path returns the FIXED-arity 4-tuple
         ``(category_strings, attribute_strings, boxes, extras)``; ``extras``
         is a (possibly empty) dict with "masks" / "exit_block" when the
-        artifact produces them. ``threshold`` sets the early-exit confidence
-        for early-exit artifacts (default 1.0 = effectively run the full
-        stack unless a block is fully confident)."""
+        artifact produces them. ``threshold`` sets the early-exit knob for
+        early-exit artifacts; its meaning follows the exported
+        ``exit_criterion`` (confidence floor, or stability delta ceiling).
+        The default is the full-depth degenerate value for either criterion
+        (confidence 1.0 / stability 0.0)."""
         images = np.asarray(images, np.float32)
         if self.meta.get("early_exit"):
-            thr = np.float32(1.0 if threshold is None else threshold)
+            if threshold is None:
+                threshold = (0.0 if self.meta.get("exit_criterion")
+                             == "stability" else 1.0)
+            thr = np.float32(threshold)
             preds = self._exported.call(images, thr)
         else:
             if threshold is not None:

@@ -37,8 +37,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--params", default="/tmp/params_boosted.pkl")
-    ap.add_argument("--thresholds", type=float, nargs="+",
-                    default=[0.5, 0.7, 0.8, 0.9, 0.95, 0.99])
+    ap.add_argument("--criterion", choices=["confidence", "stability"],
+                    default="confidence")
+    ap.add_argument("--thresholds", type=float, nargs="+", default=None)
     ap.add_argument("--images", type=int, default=1024)
     ap.add_argument("--val-images", type=int, default=64)
     ap.add_argument("--batch-size", type=int, default=8)
@@ -46,6 +47,12 @@ def main():
     ap.add_argument("--bench-n", type=int, default=50)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+    if args.thresholds is None:
+        # confidence: a floor in [0,1]; stability: a delta ceiling (class TV
+        # + box residual), where 0.0 degenerates to full depth.
+        args.thresholds = ([0.5, 0.7, 0.8, 0.9, 0.95, 0.99]
+                           if args.criterion == "confidence"
+                           else [0.01, 0.02, 0.05, 0.1, 0.15, 0.2, 0.3])
     if args.cpu:
         import jax
 
@@ -99,11 +106,14 @@ def main():
 
     n_blocks = cfg.num_decoder_blocks
 
+    select = (ee.stability_select if args.criterion == "stability"
+              else ee.adaptive_select)
+
     @functools.partial(jax.jit, static_argnums=1)
     def adaptive_predict(image, thr):
         outs = model.apply(variables, image, train=False,
                            return_intermediate=True)
-        preds, exit_block = ee.adaptive_select(outs, thr)
+        preds, exit_block = select(outs, thr)
         return preds, exit_block
 
     # content-chained throughput of the adaptive graph (same methodology as
@@ -148,7 +158,8 @@ def main():
         adaptive_ips = args.batch_size / best
 
         # --- incremental mode: real compute saving ----------------------
-        inc = ee.make_incremental_predict(model, thr)
+        inc = ee.make_incremental_predict(model, thr,
+                                          criterion=args.criterion)
         blocks_run = []
         t0 = time.perf_counter()
         for b in val_batches:
@@ -158,6 +169,7 @@ def main():
         inc_ips = (len(val_batches) * args.batch_size) / inc_wall
 
         row = {
+            "criterion": args.criterion,
             "threshold": thr,
             "val_mAP50": round(val_m["mAP50"], 4),
             "val_mAP": round(val_m["mAP"], 4),

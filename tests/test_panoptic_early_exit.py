@@ -374,3 +374,99 @@ def test_block_confidence_object_weighting():
     c_empty = float(early_exit.block_confidence(
         cat([[0.9999, 0.00003, 0.00003, 0.00004]] * 10))[0])
     assert c_empty == 1.0
+
+
+def test_stability_select_exits_where_predictions_settle(rng):
+    """PABEE-style exit (round-4 fix): image 0's predictions stop changing
+    at block 1 -> exits there; image 1 keeps moving -> last block."""
+    cat = np.full((2, 4, 5), 0.1, np.float32)
+    cat[:, :, 2] = 5.0  # confident non-PAD class -> object weight ~1
+    cat = jnp.asarray(cat)
+    b0 = rng.uniform(size=(2, 4, 4)).astype(np.float32)
+
+    def out(shift0, shift1):
+        bx = b0.copy()
+        bx[0] += shift0
+        bx[1] += shift1
+        return {"category": cat, "boxes": jnp.asarray(bx)}
+
+    o1, o2, o3 = out(0.0, 0.0), out(0.0, 1.0), out(0.5, 2.0)
+    preds, eb = early_exit.stability_select([o1, o2, o3], tau=0.05)
+    eb = np.asarray(eb)
+    assert eb[0] == 1  # o2 == o1 for image 0: first stable pair
+    assert eb[1] == 2  # image 1's boxes move 1.0 per block: never stable
+    assert np.allclose(np.asarray(preds["boxes"][0]),
+                       np.asarray(o2["boxes"][0]), atol=1e-6)
+    assert np.allclose(np.asarray(preds["boxes"][1]),
+                       np.asarray(o3["boxes"][1]), atol=1e-6)
+
+
+def test_stability_select_tau_zero_is_full_depth(rng):
+    """tau=0.0 degenerates to the plain full-depth forward (the serving
+    default for stability artifacts)."""
+    model = DETR(TINY)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    outs = model.apply(variables, img, return_intermediate=True)
+    preds, eb = early_exit.stability_select(outs, tau=0.0)
+    assert int(eb[0]) == TINY.num_decoder_blocks - 1
+    plain = model.apply(variables, img)
+    assert np.allclose(np.asarray(preds["boxes"]),
+                       np.asarray(plain["boxes"]), atol=1e-5)
+
+
+def test_incremental_stability_criterion(rng):
+    model = DETR(TINY)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    # huge tau: still needs TWO blocks (a delta needs a predecessor)
+    predict = early_exit.make_incremental_predict(model, threshold=1e9,
+                                                  criterion="stability")
+    preds, blocks_run = predict(variables, img)
+    assert blocks_run == 2
+    assert preds["boxes"].shape == (2, 6, 4)
+    # tau 0: random-init blocks always differ -> full depth
+    predict0 = early_exit.make_incremental_predict(model, threshold=0.0,
+                                                   criterion="stability")
+    _, blocks_run0 = predict0(variables, img)
+    assert blocks_run0 == TINY.num_decoder_blocks
+    with pytest.raises(ValueError):
+        early_exit.make_incremental_predict(model, threshold=0.1,
+                                            criterion="nonsense")
+
+
+def test_stability_on_boosted_cumulative_outputs(rng):
+    """On the boosted ensemble the inter-block delta is the newest weak
+    learner's residual: at random init residuals are large, so tau=0.01
+    keeps full depth, and the incremental mode agrees with the one-graph
+    stability_select on both preds and depth."""
+    from boosted_detr_tpu.models.boosted import BoostedDETR
+
+    model = BoostedDETR(TINY)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    outs = model.apply(variables, img, return_intermediate=True)
+    preds, eb = early_exit.stability_select(outs, tau=1e9)
+    assert (np.asarray(eb) == 1).all()  # first pair trivially stable
+    assert np.allclose(np.asarray(preds["boxes"]),
+                       np.asarray(outs[1]["boxes"]), atol=1e-6)
+    inc = early_exit.make_incremental_predict(model, threshold=1e9,
+                                              criterion="stability")
+    inc_preds, blocks_run = inc(variables, img)
+    assert blocks_run == 2
+    for key in ("boxes", "category", "attribute"):
+        assert np.allclose(np.asarray(inc_preds[key]),
+                           np.asarray(preds[key]), atol=1e-5), key
+
+
+def test_prediction_delta_properties(rng):
+    """delta(x, x) == 0; a pure box move of d on every object slot scores
+    ~d (box residual in box units)."""
+    cat = np.full((1, 3, 5), 0.05, np.float32)
+    cat[:, :, 1] = 4.0
+    boxes = rng.uniform(size=(1, 3, 4)).astype(np.float32)
+    a = {"category": jnp.asarray(cat), "boxes": jnp.asarray(boxes)}
+    assert float(early_exit.prediction_delta(a, a)[0]) == 0.0
+    b = {"category": jnp.asarray(cat), "boxes": jnp.asarray(boxes + 0.25)}
+    d = float(early_exit.prediction_delta(a, b)[0])
+    assert abs(d - 0.25) < 1e-5

