@@ -122,6 +122,10 @@ class ModelConfig:
 
     # --- early-exit inference (reference README.md:63-88, unimplemented) ---
     early_exit_threshold: Optional[float] = None
+    # "confidence" (reference sketch: min confidence floor) or "stability"
+    # (PABEE-style inter-block delta ceiling — the criterion that actually
+    # orders boosted cumulative outputs; see models/early_exit.py).
+    early_exit_criterion: str = "confidence"
 
     @property
     def resolved_head_hidden_dim(self) -> int:

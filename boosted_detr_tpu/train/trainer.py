@@ -433,7 +433,10 @@ class Trainer:
 
         ``early_exit_threshold`` enables adaptive-depth inference (the
         reference README.md:63-88 design): each image takes the earliest
-        decoder block whose confidence clears the threshold.
+        decoder block that meets ``ModelConfig.early_exit_criterion`` —
+        "confidence" (threshold = confidence floor) or "stability"
+        (threshold = max inter-block prediction delta; see
+        models/early_exit.py for why cumulative boosted outputs need it).
         ``use_ema`` serves the EMA shadow weights (TrainConfig.ema_decay)."""
         read_state = self._read_state(use_ema)
         threshold = (early_exit_threshold
@@ -443,12 +446,16 @@ class Trainer:
             if self._predict_adaptive is None:
                 from boosted_detr_tpu.models import early_exit
 
+                select = (early_exit.stability_select
+                          if self.model_cfg.early_exit_criterion
+                          == "stability" else early_exit.adaptive_select)
+
                 def adaptive(state, image, thr):
                     outs = self.model.apply(
                         {"params": state.params,
                          "batch_stats": state.batch_stats},
                         image, train=False, return_intermediate=True)
-                    preds, exit_block = early_exit.adaptive_select(outs, thr)
+                    preds, exit_block = select(outs, thr)
                     return preds, exit_block
 
                 self._predict_adaptive = jax.jit(adaptive)

@@ -211,6 +211,20 @@ def test_api_early_exit_and_panoptic():
                               early_exit_threshold=0.5)
     assert cats.shape == (4, 6)
 
+    # stability criterion through the same public predict path
+    smodel = api.DETR(vocab_dict=ds.get_vocab(),
+                      early_exit_criterion="stability", **kw)
+    smodel.compile(sample_batch=sample,
+                   train_config=TrainConfig(optimizer="adamw",
+                                            lr_schedule="constant",
+                                            clipnorm=0.0))
+    sp = smodel({"image": sample["image"]}, training=True,
+                early_exit_threshold=0.0)  # tau 0 -> full depth
+    assert (sp["exit_block"] == kw["num_decoder_blocks"] - 1).all()
+    sp1 = smodel({"image": sample["image"]}, training=True,
+                 early_exit_threshold=1e9)  # any pair stable -> block 1
+    assert (sp1["exit_block"] == 1).all()
+
     pano = api.DETRPanoptic(vocab_dict=ds.get_vocab(), **kw,
                             num_panoptic_heads=2, panoptic_dim=16)
     pano.compile(sample_batch=sample,
