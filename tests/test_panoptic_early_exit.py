@@ -336,9 +336,15 @@ def test_incremental_boosted_matches_full_forward(rng):
     preds, blocks_run = predict(variables, img)
     assert blocks_run == TINY.num_decoder_blocks
     full = model.apply(variables, img)
-    for key in ("boxes", "category", "attribute"):
+    for key in ("boxes", "attribute"):
         assert np.allclose(np.asarray(preds[key]), np.asarray(full[key]),
                            atol=1e-5), key
+    # category comes back RENORMALIZED (cross-image score comparability for
+    # mixed exit depths): proper distribution, same per-slot shape
+    cat_full = np.asarray(full["category"], np.float64)
+    cat_norm = cat_full / cat_full.sum(-1, keepdims=True)
+    assert np.allclose(np.asarray(preds["category"]), cat_norm, atol=1e-5)
+    assert np.allclose(np.asarray(preds["category"]).sum(-1), 1.0, atol=1e-4)
     # threshold 0 -> stop after weak learner 0
     predict0 = early_exit.make_incremental_predict(model, threshold=0.0)
     _, blocks_run0 = predict0(variables, img)
