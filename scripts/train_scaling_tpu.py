@@ -67,6 +67,10 @@ def main():
                     "the --image-size 1280 hi-res rider config)")
     ap.add_argument("--save-every", type=int, default=10000,
                     help="pickle params every N steps (crash resume)")
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="also run the val-split mAP eval every N steps and "
+                    "print an intermediate SCALING_EVAL line (insurance for "
+                    "long runs: every reached point is a recorded point)")
     ap.add_argument("--save-params", default="/tmp/scaling_%p.pkl")
     ap.add_argument("--resume", default="",
                     help="params pickle to resume from (step offset inside)")
@@ -204,6 +208,18 @@ def main():
             pickle.dump(blob, f)
         os.replace(tmp, save_path)
 
+    # val-eval plumbing (also used by --eval-every inside the loop)
+    val_df = ds.dataframes("val")
+    pipe = Pipeline((size, size), max_objects=cfg.max_objects, codec=codec,
+                    dataset=ds)
+    predict = jax.jit(steps.make_predict_step(model))
+
+    def eval_state(st):
+        return metrics_lib.evaluate_map_fn(
+            lambda image: jax.tree.map(np.asarray, predict(st, image)),
+            pipe.batches(val_df, batch_size=args.batch_size, shuffle=False),
+            cfg.image_size)
+
     total = start_step
     t0 = time.time()
     marks = []
@@ -236,21 +252,19 @@ def main():
                   f"({(time.time() - t0):.0f}s)", flush=True)
             if args.save_every and total % args.save_every < args.chunk:
                 save(state, total)
+            if (args.eval_every and total % args.eval_every < args.chunk
+                    and total < args.steps + steps2):
+                m = eval_state(state)
+                print("SCALING_EVAL " + json.dumps({
+                    "step": total,
+                    "val_mAP50": round(m["mAP50"], 4),
+                    "val_mAP": round(m["mAP"], 4),
+                    "val_mAP75": round(m["mAP75"], 4),
+                    "seconds": round(time.time() - t0, 1)}), flush=True)
     save(state, total)
     dt = time.time() - t0
 
     # --- evaluation: host-rendered locked-protocol val split ---------------
-    val_df = ds.dataframes("val")
-    pipe = Pipeline((size, size), max_objects=cfg.max_objects, codec=codec,
-                    dataset=ds)
-    predict = jax.jit(steps.make_predict_step(model))
-
-    def eval_state(st):
-        return metrics_lib.evaluate_map_fn(
-            lambda image: jax.tree.map(np.asarray, predict(st, image)),
-            pipe.batches(val_df, batch_size=args.batch_size, shuffle=False),
-            cfg.image_size)
-
     val_m = eval_state(state)
     val_ema = eval_state(steps.with_ema_params(state)) if args.ema else None
 
