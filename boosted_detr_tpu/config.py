@@ -112,6 +112,28 @@ class ModelConfig:
     # stats passes, designed for the 80px BatchNorm HBM roofline)
     norm: str = "batchnorm"
 
+    # --- boosted-architecture ablations (the namesake question) ---
+    # Object-query handling across weak-learner blocks:
+    #   "fresh"      = reference behavior: zero-init object queries re-tiled
+    #                  per block (reference boosted_model.py:210-211);
+    #   "carry"      = block i>0's decoder queries are block i-1's decoder
+    #                  OUTPUT features (plain-DETR-style sequential query
+    #                  refinement; cumulative prediction sums unchanged);
+    #   "confidence" = the reference README's dark "Option 2"
+    #                  (reference README.md:83-88): decoder features carry
+    #                  forward AND slots whose max class probability clears
+    #                  ``boosted_carry_threshold`` FREEZE — their features
+    #                  and outputs stop updating in later blocks; per-slot
+    #                  per-block head outputs replace cumulative sums.
+    boosted_queries: str = "fresh"  # fresh | carry | confidence
+    boosted_carry_threshold: float = 0.9
+    # One shared ``num_encoder_blocks``-deep encoder run ONCE (plain-DETR
+    # style) feeding every weak-learner decoder block, instead of the
+    # reference's 1-block encoder per weak learner (boosted_model.py:85-92).
+    # Staged freezing (TrainConfig.train_block) does not freeze the shared
+    # encoder; intended for joint training ablations.
+    boosted_shared_encoder: bool = False
+
     # --- reference-quirk compatibility flags (SURVEY §7 "quirk management") ---
     # Post-softmax multiplicative attention masking without renorm
     # (transformers.py:89-94). Only observable when a mask is passed.

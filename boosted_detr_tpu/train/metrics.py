@@ -270,18 +270,130 @@ def detr_predictions_to_eval(preds: Dict[str, np.ndarray],
                              ) -> List[Dict[str, np.ndarray]]:
     """Model output dict -> per-image eval records. Score = max non-PAD/OOV
     class probability; label = argmax over real classes (ids >= 2); the
-    <PAD>=0 no-object slot (and OOV=1) are excluded."""
+    <PAD>=0 no-object slot (and OOV=1) are excluded. When the model emits an
+    ``attribute`` head, its per-slot multi-label probabilities ride along
+    (consumed by ``compute_attribute_metrics``)."""
     cat = np.asarray(preds["category"])  # [B, P, Vc]
     boxes = np.asarray(preds["boxes"])  # [B, P, 4]
+    att = (np.asarray(preds["attribute"], np.float32)
+           if "attribute" in preds else None)
     real = cat[:, :, 2:]
     labels = real.argmax(-1) + 2
     scores = real.max(-1)
     out = []
     for i in range(cat.shape[0]):
         keep = scores[i] >= score_threshold
-        out.append({"boxes": boxes[i][keep], "scores": scores[i][keep],
-                    "labels": labels[i][keep]})
+        rec = {"boxes": boxes[i][keep], "scores": scores[i][keep],
+               "labels": labels[i][keep]}
+        if att is not None:
+            rec["attributes"] = att[i][keep]
+        out.append(rec)
     return out
+
+
+def attribute_multihot_from_batch(batch: Dict[str, np.ndarray],
+                                  num_attributes: int
+                                  ) -> List[np.ndarray]:
+    """Per-image ground-truth attribute multi-hot [n, Va] from the pipeline's
+    padded ``attribute_ids`` [B, O, W] (host-side analogue of the device
+    ``targets_from_batch``, train/steps.py)."""
+    ids = np.asarray(batch["attribute_ids"])
+    out = []
+    for i in range(len(batch["num_objects"])):
+        n = int(batch["num_objects"][i])
+        hot = np.zeros((n, num_attributes), np.float32)
+        for j in range(n):
+            for a in ids[i, j]:
+                if 0 <= int(a) < num_attributes:
+                    hot[j, int(a)] = 1.0
+        out.append(hot)
+    return out
+
+
+def compute_attribute_metrics(predictions: Sequence[Dict[str, np.ndarray]],
+                              ground_truths: Sequence[Dict[str, np.ndarray]],
+                              iou_threshold: float = 0.5,
+                              prob_threshold: float = 0.5
+                              ) -> Dict[str, float]:
+    """Multi-label attribute quality over MATCHED detections (the reference's
+    second headline feature: the attributes head,
+    reference prediction_heads.py:140-207, decoded at a 0.5 probability
+    threshold by InverseTokenization, reference tokenizers.py:122-156).
+
+    Matching mirrors the detection protocol at IoU 0.50: per image and
+    category, detections in descending score order greedily take the
+    unmatched ground truth with the highest IoU >= ``iou_threshold``. Over
+    the matched (detection, ground-truth) pairs:
+
+    - ``attr_F1`` / ``attr_precision`` / ``attr_recall``: micro-averaged
+      set overlap of the DECODED attributes (prob >= ``prob_threshold``,
+      ids >= 2 — <PAD>/<OOV> excluded, matching the reference's decode);
+    - ``attr_mAP``: macro mean over attributes (with >= 1 positive) of
+      average precision, ranking matched detections by that attribute's
+      probability — threshold-free ranking quality;
+    - ``attr_match_recall``: fraction of ground-truth objects that received
+      a matched detection (the conditioning set's coverage).
+
+    predictions per image: {'boxes', 'scores', 'labels', 'attributes'
+    [P, Va]}; ground_truths: {'boxes', 'labels', 'attributes' [n, Va]}.
+    """
+    pair_pred: List[np.ndarray] = []   # [Va] probs per matched detection
+    pair_gt: List[np.ndarray] = []     # [Va] multi-hot per matched gt
+    total_gt = 0
+    for pred, gt in zip(predictions, ground_truths):
+        g_boxes = np.asarray(gt["boxes"], np.float32).reshape(-1, 4)
+        g_labels = np.asarray(gt["labels"])
+        g_att = np.asarray(gt["attributes"], np.float32)
+        total_gt += len(g_labels)
+        if len(g_labels) == 0 or len(pred["scores"]) == 0:
+            continue
+        p_boxes = np.asarray(pred["boxes"], np.float32).reshape(-1, 4)
+        p_scores = np.asarray(pred["scores"], np.float32)
+        p_labels = np.asarray(pred["labels"])
+        p_att = np.asarray(pred["attributes"], np.float32)
+        taken = np.zeros(len(g_labels), bool)
+        order = np.argsort(-p_scores, kind="stable")
+        ious = _iou_matrix(p_boxes, g_boxes)
+        for d in order:
+            cand = np.nonzero((g_labels == p_labels[d]) & ~taken
+                              & (ious[d] >= iou_threshold))[0]
+            if cand.size == 0:
+                continue
+            g = cand[np.argmax(ious[d, cand])]
+            taken[g] = True
+            pair_pred.append(p_att[d])
+            pair_gt.append(g_att[g])
+
+    if not pair_pred:
+        return {"attr_F1": 0.0, "attr_precision": 0.0, "attr_recall": 0.0,
+                "attr_mAP": 0.0, "attr_match_recall": 0.0,
+                "attr_matched": 0}
+    pp = np.stack(pair_pred)[:, 2:]  # drop <PAD>/<OOV> columns
+    gg = np.stack(pair_gt)[:, 2:]
+    dec = pp >= prob_threshold
+    pos = gg > 0.5
+    tp = float((dec & pos).sum())
+    precision = tp / max(float(dec.sum()), 1e-12)
+    recall = tp / max(float(pos.sum()), 1e-12)
+    f1 = (2 * precision * recall / max(precision + recall, 1e-12)
+          if (precision + recall) else 0.0)
+
+    aps = []
+    for a in range(pp.shape[1]):
+        n_pos = int(pos[:, a].sum())
+        if n_pos == 0:
+            continue
+        order = np.argsort(-pp[:, a], kind="stable")
+        hits = pos[order, a]
+        cum = np.cumsum(hits)
+        prec_at_hit = cum[hits] / (np.nonzero(hits)[0] + 1)
+        aps.append(float(prec_at_hit.sum()) / n_pos)
+    return {
+        "attr_F1": f1, "attr_precision": precision, "attr_recall": recall,
+        "attr_mAP": float(np.mean(aps)) if aps else 0.0,
+        "attr_match_recall": len(pair_pred) / max(total_gt, 1),
+        "attr_matched": len(pair_pred),
+    }
 
 
 def batch_to_ground_truth(batch: Dict[str, np.ndarray]
@@ -313,13 +425,25 @@ def evaluate_map_fn(predict_fn, batches,
     model's resized ``image_size``) so the COCO pixel area ranges
     (32^2/96^2) bucket detections the way pycocotools does on non-square
     originals. Ground-truth areas use the annotation's own ``area`` when the
-    pipeline provides it (segmentation area, pycocotools' source)."""
+    pipeline provides it (segmentation area, pycocotools' source).
+
+    When the model emits an ``attribute`` head AND the batches carry
+    ``attribute_ids``, the result also includes the attribute-quality
+    metrics from ``compute_attribute_metrics`` (reference headline feature,
+    prediction_heads.py:140)."""
     preds_all: List[Dict] = []
     gts_all: List[Dict] = []
     sizes: List[Tuple[int, int]] = []  # per-image (h, w)
     for batch in batches:
-        preds_all.extend(detr_predictions_to_eval(predict_fn(batch["image"])))
-        gts_all.extend(batch_to_ground_truth(batch))
+        preds = detr_predictions_to_eval(predict_fn(batch["image"]))
+        gts = batch_to_ground_truth(batch)
+        if "attribute_ids" in batch and preds and "attributes" in preds[0]:
+            num_att = preds[0]["attributes"].shape[-1]
+            for rec, hot in zip(gts, attribute_multihot_from_batch(
+                    batch, num_att)):
+                rec["attributes"] = hot
+        preds_all.extend(preds)
+        gts_all.extend(gts)
         if "orig_size" in batch:
             sizes.extend((int(h), int(w)) for h, w in
                          np.asarray(batch["orig_size"]))
@@ -331,7 +455,12 @@ def evaluate_map_fn(predict_fn, batches,
                      * np.asarray([w, h, w, h], np.float32))
                 for r, (h, w) in zip(recs, sizes)]
 
-    return compute_map(scale(preds_all), scale(gts_all))
+    result = compute_map(scale(preds_all), scale(gts_all))
+    if gts_all and "attributes" in gts_all[0]:
+        # attribute matching happens in normalized coords (IoU is
+        # scale-invariant for the square-resized eval; use unscaled recs)
+        result.update(compute_attribute_metrics(preds_all, gts_all))
+    return result
 
 
 def evaluate_map(trainer, batches, use_ema: bool = False) -> Dict[str, float]:

@@ -58,7 +58,16 @@ def main():
                     "its scaled checkpoint feeds early_exit_sweep.py. "
                     "panoptic = DETRPanoptic with device-rendered filled-box "
                     "mask targets (device_synth mask_size) + matched mask "
-                    "loss, scored on detection mAP like every other point")
+                    "loss, scored on detection mAP AND held-out PQ/SQ/RQ")
+    ap.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="ModelConfig field override(s), e.g. "
+                    "--set num_encoder_blocks=8 --set encoder_dim=384 "
+                    "(the compute-matched-control / ablation knob; values "
+                    "parse as int/float/bool/str)")
+    ap.add_argument("--tag", default="",
+                    help="suffix appended to the run tag (and the "
+                    "--save-params '%%p' expansion) so override runs don't "
+                    "collide")
     ap.add_argument("--mask-size", type=int, default=48,
                     help="panoptic mask target resolution (val-suite value)")
     ap.add_argument("--use-pallas-stem", type=int, default=0)
@@ -70,7 +79,11 @@ def main():
     ap.add_argument("--eval-every", type=int, default=0,
                     help="also run the val-split mAP eval every N steps and "
                     "print an intermediate SCALING_EVAL line (insurance for "
-                    "long runs: every reached point is a recorded point)")
+                    "long runs: every reached point is a recorded point). "
+                    "Intermediate evals score RAW params only (the final "
+                    "result line carries the EMA numbers); eval wall time is "
+                    "excluded from every reported 'seconds' field so timed "
+                    "rows stay comparable across --eval-every settings")
     ap.add_argument("--save-params", default="/tmp/scaling_%p.pkl")
     ap.add_argument("--resume", default="",
                     help="params pickle to resume from (step offset inside)")
@@ -103,7 +116,22 @@ def main():
         tag = f"{args.model}_{tag}"
     if args.image_size != 640:
         tag = f"{tag}_r{args.image_size}"
+    if args.tag:
+        tag = f"{tag}_{args.tag}"
     save_path = args.save_params.replace("%p", tag)
+
+    def parse_override(kv):
+        key, _, val = kv.partition("=")
+        for cast in (int, float):
+            try:
+                return key, cast(val)
+            except ValueError:
+                pass
+        if val in ("True", "False"):
+            return key, val == "True"
+        return key, val
+
+    overrides = dict(parse_override(kv) for kv in args.set)
 
     # Locked-protocol val split: HOST-rendered (num_images only affects the
     # train split, which this harness does not use).
@@ -126,6 +154,9 @@ def main():
                           encoder_dim=64, decoder_dim=64,
                           num_encoder_heads=4, num_decoder_heads=4,
                           num_object_preds=16)
+    if overrides:
+        cfg = cfg.replace(**overrides)
+        print(f"config overrides: {overrides}", flush=True)
 
     mask_size = args.mask_size if args.model == "panoptic" else None
     batch_fn = device_synth.make_batch_fn(
@@ -208,10 +239,13 @@ def main():
             pickle.dump(blob, f)
         os.replace(tmp, save_path)
 
-    # val-eval plumbing (also used by --eval-every inside the loop)
+    # val-eval plumbing (also used by --eval-every inside the loop).
+    # Panoptic runs also stage mask targets into the val batches (the host
+    # pipeline's filled-box fallback IS SyntheticShapes' exact segmentation
+    # — objects are axis-aligned filled rectangles, data/datasets.py).
     val_df = ds.dataframes("val")
     pipe = Pipeline((size, size), max_objects=cfg.max_objects, codec=codec,
-                    dataset=ds)
+                    dataset=ds, mask_size=mask_size)
     predict = jax.jit(steps.make_predict_step(model))
 
     def eval_state(st):
@@ -220,8 +254,28 @@ def main():
             pipe.batches(val_df, batch_size=args.batch_size, shuffle=False),
             cfg.image_size)
 
+    def eval_pq(st):
+        """Held-out PQ/SQ/RQ (panoptic family): GT canvases from the staged
+        mask targets, predictions via the DETR panoptic postprocess — the
+        same mask grid on both sides (train/metrics.py compute_pq)."""
+        gt_images, pred_images = [], []
+        for b in pipe.batches(val_df, batch_size=args.batch_size,
+                              shuffle=False):
+            preds = jax.tree.map(np.asarray,
+                                 predict(st, jnp.asarray(b["image"])))
+            pred_images.extend(
+                metrics_lib.detr_panoptic_segments(preds, confidence=0.5))
+            for j in range(b["masks"].shape[0]):
+                k_obj = int(b["num_objects"][j])
+                cats = np.asarray(b["category_ids"][j, :k_obj], np.int64)
+                canvas = metrics_lib.panoptic_canvas(
+                    np.asarray(b["masks"][j, :k_obj]), cats)
+                gt_images.append((canvas, cats, None))
+        return metrics_lib.compute_pq(gt_images, pred_images)
+
     total = start_step
     t0 = time.time()
+    eval_s = 0.0  # eval time is subtracted from reported train seconds
     marks = []
     for lr, n_steps, phase_end in ((args.lr, args.steps, args.steps),
                                    (args.lr2, steps2, args.steps + steps2)):
@@ -254,15 +308,18 @@ def main():
                 save(state, total)
             if (args.eval_every and total % args.eval_every < args.chunk
                     and total < args.steps + steps2):
+                te = time.time()
                 m = eval_state(state)
+                eval_s += time.time() - te
                 print("SCALING_EVAL " + json.dumps({
                     "step": total,
                     "val_mAP50": round(m["mAP50"], 4),
                     "val_mAP": round(m["mAP"], 4),
                     "val_mAP75": round(m["mAP75"], 4),
-                    "seconds": round(time.time() - t0, 1)}), flush=True)
+                    "seconds": round(time.time() - t0 - eval_s, 1)}),
+                    flush=True)
     save(state, total)
-    dt = time.time() - t0
+    dt = time.time() - t0 - eval_s
 
     # --- evaluation: host-rendered locked-protocol val split ---------------
     val_m = eval_state(state)
@@ -292,6 +349,19 @@ def main():
         result["val_mAP50_ema"] = round(val_ema["mAP50"], 4)
         result["val_mAP_ema"] = round(val_ema["mAP"], 4)
         result["val_mAP75_ema"] = round(val_ema["mAP75"], 4)
+    # attribute-quality columns (reference headline feature; present when
+    # the model emits an attribute head — train/metrics.py)
+    for k in ("attr_F1", "attr_precision", "attr_recall", "attr_mAP",
+              "attr_match_recall"):
+        if k in val_m:
+            result[f"val_{k}"] = round(val_m[k], 4)
+    if args.model == "panoptic":
+        pq = eval_pq(state)
+        result["val_PQ"] = round(pq["PQ"], 4)
+        result["val_SQ"] = round(pq["SQ"], 4)
+        result["val_RQ"] = round(pq["RQ"], 4)
+    if overrides:
+        result["overrides"] = overrides
     print("SCALING " + json.dumps(result), flush=True)
 
 
