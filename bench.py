@@ -70,6 +70,24 @@ def main():
                       # in the DETR encoder/decoder (win at >=1600 tokens)
                       use_pallas_attention=bool(int(
                           os.environ.get("BENCH_PATTN", "0"))))
+    # BENCH_SET="num_encoder_blocks=8,encoder_dim=384" applies arbitrary
+    # ModelConfig overrides (the compute-matched-control / ablation probe;
+    # values parse as int/float/bool/str)
+    if os.environ.get("BENCH_SET"):
+        def parse(kv):
+            key, _, val = kv.partition("=")
+            for cast in (int, float):
+                try:
+                    return key, cast(val)
+                except ValueError:
+                    pass
+            if val in ("True", "False"):
+                return key, val == "True"
+            return key, val
+
+        overrides = dict(parse(kv) for kv in
+                         os.environ["BENCH_SET"].split(","))
+        cfg = cfg.replace(**overrides)
     # BENCH_MODEL=boosted benches the boosted ensemble (per-block losses
     # folded into one lane-batched matcher solve, train/steps.py)
     bench_model = os.environ.get("BENCH_MODEL", "detr")

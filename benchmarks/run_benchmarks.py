@@ -106,6 +106,12 @@ def bench_throughput(quick: bool):
                                             backbone="efficientnet_lite",
                                             compute_dtype="bfloat16",
                                             max_objects=32), DETR, 8),
+        ("detr_effnetb4_640",  # faithful keras-B4 parity backbone: the
+         # depthwise-conv TPU penalty quantified (models/backbone.py
+         # EfficientNetBackbone, param-pinned to 17,673,823)
+         ModelConfig(image_size=(640, 640), backbone="efficientnet_b4",
+                     compute_dtype="bfloat16", max_objects=32,
+                     matcher="pallas"), DETR, 8),
         ("boosted_resnet_640", ModelConfig(image_size=(640, 640),
                                            backbone="resnet",
                                            compute_dtype="bfloat16",

@@ -89,6 +89,11 @@ VARIANTS = {
                                     _fbn=15000)),
     "conv7": ("detr", dict(backbone="resnet", stem="conv7")),
     "patchify": ("detr", dict(backbone="resnet", stem="patchify")),
+    # faithful EfficientNetB4 (reference backbone.py:28-31 trains keras'
+    # B4 from scratch; models/backbone.py EfficientNetBackbone is pinned to
+    # its 17,673,823 params) — quantifies the depthwise-conv TPU penalty
+    # against the TPU-first stems at equal budget
+    "b4": ("detr", dict(backbone="efficientnet_b4")),
     "vit_p32": ("detr", dict(backbone="vit_p32",
                              use_pallas_attention=False)),
     "vit_p16": ("detr", dict(backbone="vit")),
@@ -485,6 +490,11 @@ def run_variant(name, args):
         result["val_mAP_ema"] = round(val_ema["mAP"], 4)
         result["val_mAP50_ema"] = round(val_ema["mAP50"], 4)
         result["val_mAP75_ema"] = round(val_ema["mAP75"], 4)
+    # attribute-quality columns (reference headline feature; flow from
+    # evaluate_map_fn whenever the model emits an attribute head)
+    for k in ("attr_F1", "attr_mAP", "attr_match_recall"):
+        if k in val_m:
+            result[f"val_{k}"] = round(val_m[k], 4)
     if val_pq is not None:
         result["val_PQ"] = round(val_pq["PQ"], 4)
         result["val_SQ"] = round(val_pq["SQ"], 4)
