@@ -145,8 +145,13 @@ class ModelConfig:
     # --- early-exit inference (reference README.md:63-88, unimplemented) ---
     early_exit_threshold: Optional[float] = None
     # "confidence" (reference sketch: min confidence floor) or "stability"
-    # (PABEE-style inter-block delta ceiling — the criterion that actually
-    # orders boosted cumulative outputs; see models/early_exit.py).
+    # (PABEE-style inter-block delta ceiling). RECOMMENDED: stability with
+    # tau=1.5 on converged boosted checkpoints — measured val mAP50 0.603 /
+    # mAP 0.261 vs 0.511/0.218 full depth at HALF the decoder compute, with
+    # a 3x-wide tau plateau (1.0-3.0); tau <= 0.3 degenerates to full depth
+    # (the right answer for under-trained checkpoints). The confidence
+    # criterion is dominated by stability at every measured setting
+    # (benchmarks/RESULTS.md round-5 early-exit tables).
     early_exit_criterion: str = "confidence"
 
     @property
