@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--bench-chunks", type=int, default=3)
     ap.add_argument("--bench-n", type=int, default=50)
+    ap.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="ModelConfig override(s) matching how the "
+                    "checkpoint was trained (e.g. --set "
+                    "boosted_queries=carry); same syntax as "
+                    "train_scaling_tpu.py")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.thresholds is None:
@@ -90,6 +95,21 @@ def main():
                           encoder_dim=64, decoder_dim=64,
                           num_encoder_heads=4, num_decoder_heads=4,
                           num_object_preds=16)
+    if args.set:
+        def parse_override(kv):
+            key, _, val = kv.partition("=")
+            for cast in (int, float):
+                try:
+                    return key, cast(val)
+                except ValueError:
+                    pass
+            if val in ("True", "False"):
+                return key, val == "True"
+            return key, val
+
+        overrides = dict(parse_override(kv) for kv in args.set)
+        cfg = cfg.replace(**overrides)
+        print(f"config overrides: {overrides}", flush=True)
     model = BoostedDETR(cfg)
 
     with open(args.params, "rb") as f:
